@@ -1,0 +1,146 @@
+"""Typed configuration for the whole pipeline.
+
+The reference scatters its knobs between argparse defaults and hard-coded
+constants (reference main.py:33-42 plus constants catalogued in SURVEY.md §5:
+Lowe ratio 0.7 at utils.py:190, reprojection gate 0.3 px at main.py:22,
+track-merge threshold 0.01 at main.py:27, MVS NCC thresholds 0.4/0.7 at
+MVS2.py:255/362, visibility bound 3 at MVS2.py:200-203, coplanarity 0.1 and
+radius 0.05/scale at MVS2.py:369, 100000-iteration cap at MVS2.py:321,
+BA ftol 1e-4 at SFM.py:176).  Here every one of those is a named, documented
+field on a single frozen dataclass tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Corner detection + patch description + matching."""
+
+    # Harris detector (TPU frontend; reference HarrisFeatures.py:135-161 uses
+    # block=2, ksize=3, k=0.04 and a 1%-of-max threshold).
+    harris_k: float = 0.04
+    harris_window: int = 3          # structure-tensor box window half-extent*2+1
+    harris_rel_threshold: float = 0.01
+    nms_radius: int = 4             # non-max-suppression radius in pixels
+    max_corners: int = 4096         # static top-K corners per image (mask-padded)
+
+    # Patch descriptors (reference getDescFeatures HarrisFeatures.py:116-133:
+    # grayscale square patch of side 2*wid+1, wid=5 -> 11x11).
+    desc_wid: int = 5
+
+    # Matching (reference uses FLANN kNN + Lowe ratio 0.7, utils.py:180-191;
+    # we do dense correlation on the MXU with a mutual-nearest + ratio test).
+    lowe_ratio: float = 0.8
+    min_matches: int = 8            # reference utils.py:193-204 requires >= 8
+    max_matches: int = 2048         # static match capacity per pair (mask-padded)
+    mutual_check: bool = True
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """Fundamental-matrix RANSAC (replaces cv2.findFundamentalMat FM_RANSAC,
+    reference utils.py:209-212) with vmapped 8-point hypotheses."""
+
+    num_hypotheses: int = 512       # fixed for static shapes
+    inlier_threshold_px: float = 2.0  # Sampson distance threshold
+    refit_on_inliers: bool = True   # final least-squares 8-point refit on inliers
+
+
+@dataclass(frozen=True)
+class SfmConfig:
+    """Sparse reconstruction loop (reference SFM.py:47-88)."""
+
+    # Accept a triangulated point only if reprojection error in BOTH views is
+    # below this (reference main.py:22 passes 0.3 px; gate at SFM.py:78-79).
+    max_reprojection_error_px: float = 0.3
+    # Track-merge 3-D distance threshold (reference GlobalSet threshold=0.01,
+    # main.py:27, check at GlobalSet.py:73-79).
+    track_merge_threshold: float = 0.01
+    # Pair scheduling: "sequence" = (i-1, i) chaining (utils.py:99-112);
+    # "combination" = all C(n,2) pairs (utils.py:82-95 — unimplemented in the
+    # reference, SFM.py:49-50; implemented here).
+    pair_mode: str = "sequence"
+
+
+@dataclass(frozen=True)
+class BaConfig:
+    """Bundle adjustment (reference BundleAdjustment.py + SFM.py:91-210).
+
+    Same 11-parameter camera model as the reference:
+    [rvec(3), t(3), f, k1, k2, px, py] (SFM.py:143-148, BundleAdjustment.py:23-39),
+    solved by Levenberg-Marquardt with a Schur-complement reduced camera system
+    instead of scipy.optimize.least_squares(method='trf').
+    """
+
+    max_iterations: int = 50
+    ftol: float = 1e-4              # relative cost-decrease stop (SFM.py:176)
+    gtol: float = 1e-8
+    init_lambda: float = 1e-3
+    lambda_up: float = 4.0
+    lambda_down: float = 0.5
+    # The reference only keeps refined POINTS and discards refined cameras
+    # (SFM.py:181-183). We reproduce that default but expose the flag.
+    refine_cameras: bool = False
+    # Solve in float64 on CPU-backed meshes for parity checks; float32 on TPU.
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class MvsConfig:
+    """Patch-based dense reconstruction (reference MVS2.py)."""
+
+    cell_size: int = 2              # beta, pixels per occupancy cell (main.py:40)
+    patch_wid: int = 5              # photo-consistency patch half-width -> 11x11
+    min_ncc_seed: float = 0.4       # seeding threshold (MVS2.py:255)
+    min_ncc_expand: float = 0.7     # expansion threshold (MVS2.py:362)
+    visible_lower_bound: int = 3    # >=3 views (2 when only 2 images), MVS2.py:200-203
+    coplanarity_threshold: float = 0.1   # |d.n1 + d.n2| bound (MVS2.py:369)
+    neighbor_radius_scaled: float = 0.05  # ||c1-c2|| < this / scale (MVS2.py:369)
+    # Work budget, the analogue of the reference's 100000-iteration BFS cap
+    # (MVS2.py:321): total accepted-patch budget across expansion rounds.
+    max_patches: int = 100_000
+    max_rounds: int = 64
+    # Per-round candidate batch capacity (static shape).
+    round_capacity: int = 16_384
+    # PMVS visibility-consistency outlier filter (reference implements but
+    # disables it at MVS2.py:280-281; here it is a cheap vectorized post-pass).
+    enable_outlier_filter: bool = False
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Execution environment knobs."""
+
+    # Devices along the single "data" mesh axis used by sharded BA / MVS.
+    mesh_shape: Optional[int] = None   # None = all visible devices
+    use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no)
+    checkpoint_dir: Optional[str] = None  # stage checkpoints (tracks/BA) for resume
+    profile_dir: Optional[str] = None     # jax.profiler trace output
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level configuration mirroring the reference CLI (main.py:33-42)."""
+
+    image_path: str = ""
+    par_path: str = ""
+    image_type: str = "ppm"         # reference '-t', default ppm (main.py:36)
+    scale: float = 1.0              # viz/radius scale multiplier (main.py:37)
+    debug: bool = False
+    max_images: Optional[int] = None  # subset support for benchmarks/tests
+
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    sfm: SfmConfig = field(default_factory=SfmConfig)
+    ba: BaConfig = field(default_factory=BaConfig)
+    mvs: MvsConfig = field(default_factory=MvsConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,50 @@
+"""Image loading.
+
+The reference globs ``{img_path}/*.{type}``, sorts, and loads BGR->RGB via
+OpenCV (reference main.py:7-20).  We use PIL (no cv2 dependency) and return a
+single stacked uint8 array — all views share one static (H, W) shape, which is
+what the batched TPU pipeline requires.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def load_images(
+    image_dir: str,
+    image_type: str = "png",
+    max_images: Optional[int] = None,
+) -> Tuple[np.ndarray, List[str]]:
+    """Load ``image_dir/*.{image_type}`` sorted by name.
+
+    Returns (images uint8 (N, H, W, 3), list of file paths).
+    """
+    paths = sorted(glob.glob(os.path.join(image_dir, f"*.{image_type}")))
+    if max_images is not None:
+        paths = paths[:max_images]
+    if not paths:
+        raise FileNotFoundError(f"no *.{image_type} images in {image_dir}")
+    imgs = []
+    for p in paths:
+        with Image.open(p) as im:
+            imgs.append(np.asarray(im.convert("RGB"), dtype=np.uint8))
+    shapes = {a.shape for a in imgs}
+    if len(shapes) != 1:
+        raise ValueError(f"images have differing shapes: {shapes}")
+    return np.stack(imgs), paths
+
+
+def to_gray(images: np.ndarray) -> np.ndarray:
+    """uint8 RGB (..., H, W, 3) -> float32 grayscale (..., H, W) in [0, 255].
+
+    Uses the ITU-R BT.601 weights (what cv2.cvtColor COLOR_RGB2GRAY uses, the
+    reference's grayscale path at utils.py:169-170 / HarrisFeatures.py:138).
+    """
+    img = images.astype(np.float32)
+    return img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
