@@ -25,7 +25,12 @@ class FeatureConfig:
     # block=2, ksize=3, k=0.04 and a 1%-of-max threshold).
     harris_k: float = 0.04
     harris_window: int = 3          # structure-tensor box window half-extent*2+1
-    harris_rel_threshold: float = 0.01
+    # The reference's Harris frontend keeps responses > 1% of the per-image
+    # max (HarrisFeatures.py:158); that leaves only a few dozen corners on
+    # dark-background Middlebury images (response scales as gradient^4).  We
+    # default far more permissive — the ratio test + RANSAC downstream do the
+    # actual quality gating, and top-K capacity bounds the cost.
+    harris_rel_threshold: float = 1e-6
     nms_radius: int = 4             # non-max-suppression radius in pixels
     max_corners: int = 4096         # static top-K corners per image (mask-padded)
 
