@@ -1,0 +1,239 @@
+"""Sparse reconstruction pipeline (the reference's StructureFromMotion,
+SFM.py:47-88, re-architected for TPU).
+
+Reference shape: a Python loop over sequential pairs, each doing OpenCV
+feature matching, RANSAC, triangulation, then a *per-point* Python loop for
+the reprojection gate and track insertion (SFM.py:69-82 — the SfM bottleneck
+per SURVEY.md §3.2).
+
+TPU shape: ONE compiled program processes every pair — features for the whole
+stack are detected in one batched call, then a ``lax.map`` over the stacked
+pair tensors runs match -> RANSAC -> triangulate -> gate with static shapes,
+producing padded (obs_a, obs_b, point, valid) arrays for all pairs at once.
+Only the track-store merge (hash-based, order-dependent) runs on host,
+consuming whole per-pair batches through the native C++ store.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.config import PipelineConfig
+from sfm_tpu.features.frontend import detect_and_describe, FeatureSet
+from sfm_tpu.features.matching import match_descriptors
+from sfm_tpu.geometry.projection import projection_matrix, project_pinhole
+from sfm_tpu.geometry.triangulation import triangulate_dlt
+from sfm_tpu.io.calib import Calibration
+from sfm_tpu.io.images import to_gray
+from sfm_tpu.sfm.ransac import ransac_fundamental
+from sfm_tpu.sfm.tracks import TrackStore
+from sfm_tpu.utils.metrics import Metrics, StageTimer
+
+
+def pair_schedule(n: int, mode: str = "sequence") -> List[Tuple[int, int]]:
+    """Image pair scheduling.
+
+    'sequence': chained (i-1, i) pairs (reference getSequence, utils.py:99-112).
+    'combination': all C(n,2) pairs (reference getCombination, utils.py:82-95
+    — declared but unimplemented in the reference, SFM.py:49-50; supported
+    here).
+    """
+    if mode == "sequence":
+        return [(i - 1, i) for i in range(1, n)]
+    if mode == "combination":
+        return [(i, j) for i in range(n) for j in range(i + 1, n)]
+    raise ValueError(f"unknown pair mode: {mode}")
+
+
+@dataclass
+class SparseReconstruction:
+    """Output of sparse SfM: tracks + cameras + diagnostics."""
+
+    calib: Calibration
+    world: np.ndarray          # (T, 3) float64 track points
+    track_offsets: np.ndarray  # (T+1,) int64
+    track_obs: np.ndarray      # (O, 3) int32 rows (image, x, y)
+    metrics: Metrics = field(default_factory=Metrics)
+    timers: Optional[StageTimer] = None
+
+    @property
+    def num_tracks(self) -> int:
+        return self.world.shape[0]
+
+    @property
+    def num_observations(self) -> int:
+        return self.track_obs.shape[0]
+
+    def track_lengths(self) -> np.ndarray:
+        return np.diff(self.track_offsets)
+
+    def mean_reprojection_error(self) -> float:
+        """Mean pixel reprojection error over all observations."""
+        if self.num_observations == 0:
+            return float("nan")
+        point_idx = np.repeat(
+            np.arange(self.num_tracks), self.track_lengths()
+        )
+        cam_idx = self.track_obs[:, 0]
+        pts = jnp.asarray(self.world[point_idx])
+        K = jnp.asarray(self.calib.K[cam_idx])
+        R = jnp.asarray(self.calib.R[cam_idx])
+        t = jnp.asarray(self.calib.t[cam_idx])
+        proj = project_pinhole(pts, K, R, t)
+        err = np.linalg.norm(
+            np.asarray(proj) - self.track_obs[:, 1:3], axis=-1
+        )
+        return float(err.mean())
+
+    def export_ply(self, path: str) -> None:
+        from sfm_tpu.io.ply import export_ply
+
+        export_ply(path, self.world.astype(np.float32))
+
+
+def _make_pair_step(config: PipelineConfig, num_matches: int):
+    """Build the jitted per-pair device step (used under lax.map)."""
+
+    fc = config.features
+    rc = config.ransac
+    sc = config.sfm
+
+    def step(args):
+        (desc_a, val_a, cor_a, desc_b, val_b, cor_b,
+         P_a, P_b, K_a, R_a, t_a, K_b, R_b, t_b, key) = args
+        m = match_descriptors(
+            desc_a, val_a, desc_b, val_b,
+            lowe_ratio=fc.lowe_ratio,
+            max_matches=num_matches,
+            mutual_check=fc.mutual_check,
+        )
+        p1 = cor_a[m.idx1].astype(jnp.float32)
+        p2 = cor_b[m.idx2].astype(jnp.float32)
+        enough = m.count >= fc.min_matches
+        F, inliers, n_inl = ransac_fundamental(
+            p1, p2, m.valid & enough, key,
+            num_hypotheses=rc.num_hypotheses,
+            threshold_px=rc.inlier_threshold_px,
+            refit=rc.refit_on_inliers,
+        )
+        # Batched two-view DLT on the inlier set.
+        P = jnp.stack([P_a, P_b])  # (2, 3, 4)
+        P_b2 = jnp.broadcast_to(P, (num_matches, 2, 3, 4))
+        pix = jnp.stack([p1, p2], axis=1)  # (M, 2, 2)
+        X, w = triangulate_dlt(P_b2, pix)
+        nondegenerate = jnp.abs(w) > 1e-9
+        # Reprojection gate in BOTH views (reference SFM.py:76-79).
+        proj_a = project_pinhole(X, K_a, R_a, t_a)
+        proj_b = project_pinhole(X, K_b, R_b, t_b)
+        err_a = jnp.linalg.norm(proj_a - p1, axis=-1)
+        err_b = jnp.linalg.norm(proj_b - p2, axis=-1)
+        gate = (err_a <= sc.max_reprojection_error_px) & (
+            err_b <= sc.max_reprojection_error_px
+        )
+        ok = inliers & nondegenerate & gate
+        err_sum = jnp.sum(jnp.where(ok, 0.5 * (err_a + err_b), 0.0))
+        return (
+            p1, p2, X, ok,
+            m.count, n_inl, jnp.sum(ok.astype(jnp.int32)), err_sum,
+        )
+
+    return step
+
+
+def structure_from_motion(
+    images: np.ndarray,
+    calib: Calibration,
+    config: PipelineConfig = PipelineConfig(),
+    track_store: Optional[TrackStore] = None,
+) -> SparseReconstruction:
+    """Run sparse SfM over an image stack with known calibration.
+
+    Like the reference (SFM.py:62-63), camera poses come straight from the
+    calibration file — no pose estimation; RANSAC's job is match outlier
+    rejection only.
+    """
+    timers = StageTimer()
+    metrics = Metrics()
+    n = images.shape[0]
+    if calib.num_views < n:
+        raise ValueError(
+            f"{n} images but only {calib.num_views} calibrated cameras"
+        )
+    pairs = pair_schedule(n, config.sfm.pair_mode)
+    ia = np.asarray([p[0] for p in pairs])
+    ib = np.asarray([p[1] for p in pairs])
+
+    with timers.stage("features"):
+        gray = jnp.asarray(to_gray(images))
+        fs: FeatureSet = detect_and_describe(
+            gray, config.features, use_pallas=config.runtime.use_pallas
+        )
+        jax.block_until_ready(fs.descriptors)
+
+    with timers.stage("pair_geometry"):
+        K = jnp.asarray(calib.K.astype(np.float32))
+        R = jnp.asarray(calib.R.astype(np.float32))
+        t = jnp.asarray(calib.t.astype(np.float32))
+        P = projection_matrix(K, R, t)
+        keys = jax.random.split(
+            jax.random.PRNGKey(config.runtime.seed), len(pairs)
+        )
+        step = _make_pair_step(config, config.features.max_matches)
+        args = (
+            fs.descriptors[ia], fs.valid[ia], fs.corners[ia],
+            fs.descriptors[ib], fs.valid[ib], fs.corners[ib],
+            P[ia], P[ib],
+            K[ia], R[ia], t[ia], K[ib], R[ib], t[ib],
+            keys,
+        )
+        (p1, p2, X, ok, n_match, n_inl, n_gate, err_sum) = jax.lax.map(
+            step, args
+        )
+        jax.block_until_ready(ok)
+
+    with timers.stage("tracks"):
+        store = track_store or TrackStore(config.sfm.track_merge_threshold)
+        p1_h = np.asarray(p1).astype(np.int32)
+        p2_h = np.asarray(p2).astype(np.int32)
+        X_h = np.asarray(X).astype(np.float64)
+        ok_h = np.asarray(ok)
+        for pi, (a, b) in enumerate(pairs):
+            sel = ok_h[pi]
+            if not sel.any():
+                continue
+            m = int(sel.sum())
+            obs_a = np.concatenate(
+                [np.full((m, 1), a, np.int32), p1_h[pi][sel]], axis=1
+            )
+            obs_b = np.concatenate(
+                [np.full((m, 1), b, np.int32), p2_h[pi][sel]], axis=1
+            )
+            store.add_pairs(obs_a, obs_b, X_h[pi][sel])
+        world, offsets, obs = store.export()
+
+    n_gate_total = int(np.asarray(n_gate).sum())
+    metrics.record("num_pairs", len(pairs))
+    metrics.record("matches_per_pair_mean", float(np.asarray(n_match).mean()))
+    metrics.record("inliers_per_pair_mean", float(np.asarray(n_inl).mean()))
+    metrics.record("gated_points_total", n_gate_total)
+    metrics.record(
+        "mean_pair_reprojection_error_px",
+        float(np.asarray(err_sum).sum() / max(n_gate_total, 1)),
+    )
+    metrics.record("num_tracks", world.shape[0])
+    metrics.record("num_observations", obs.shape[0])
+    metrics.record("track_store_backend", store.backend)
+
+    return SparseReconstruction(
+        calib=calib,
+        world=world,
+        track_offsets=offsets,
+        track_obs=obs,
+        metrics=metrics,
+        timers=timers,
+    )

@@ -47,6 +47,16 @@ def dino_calib():
     return read_pars(par)
 
 
+@pytest.fixture(scope="class")
+def dino_calib_cls(dino_calib):
+    return dino_calib
+
+
+@pytest.fixture(scope="class")
+def dino_images_cls(dino_images):
+    return dino_images
+
+
 @pytest.fixture(scope="session")
 def dino_images():
     from sfm_tpu.io import load_images
