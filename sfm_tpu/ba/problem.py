@@ -1,0 +1,95 @@
+"""BA problem assembly from a sparse reconstruction.
+
+Mirrors the reference's track flattening (SFM.py:97-128: camera_indices,
+point_indices, points_2d, points_3d) and 12-param camera packing
+(SFM.py:143-148), with TPU-required static-shape padding: observations are
+padded to a multiple of ``pad_to`` with a validity mask, so problem size
+changes don't force recompilation at every pipeline run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.geometry.projection import pack_cam
+from sfm_tpu.geometry.rotations import rodrigues_vector
+from sfm_tpu.io.calib import Calibration
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BAProblem:
+    """Padded, device-ready bundle-adjustment problem.
+
+    cams: (N, 12) float; points: (T, 3) float;
+    cam_idx/point_idx: (O,) int32; obs_2d: (O, 2) float; mask: (O,) bool.
+    Padded observations have mask=False and index 0.
+    """
+
+    cams: jnp.ndarray
+    points: jnp.ndarray
+    cam_idx: jnp.ndarray
+    point_idx: jnp.ndarray
+    obs_2d: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def num_cameras(self) -> int:
+        return self.cams.shape[0]
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def num_observations(self) -> int:
+        return int(jnp.sum(self.mask.astype(jnp.int32)))
+
+
+def _pad_len(n: int, multiple: int) -> int:
+    return ((max(n, 1) + multiple - 1) // multiple) * multiple
+
+
+def build_problem(
+    calib: Calibration,
+    world: np.ndarray,
+    track_offsets: np.ndarray,
+    track_obs: np.ndarray,
+    dtype=jnp.float32,
+    pad_to: int = 1024,
+) -> BAProblem:
+    """Flatten tracks into a padded BAProblem.
+
+    Args mirror SparseReconstruction.{world, track_offsets, track_obs}.
+    """
+    n_tracks = world.shape[0]
+    n_obs = track_obs.shape[0]
+    lengths = np.diff(track_offsets)
+    point_idx = np.repeat(np.arange(n_tracks, dtype=np.int64), lengths)
+    cam_idx = track_obs[:, 0].astype(np.int64)
+    obs_2d = track_obs[:, 1:3].astype(np.float64)
+
+    rv = np.asarray(rodrigues_vector(jnp.asarray(calib.R)))
+    cams = np.asarray(
+        pack_cam(jnp.asarray(calib.K), jnp.asarray(rv), jnp.asarray(calib.t))
+    )
+
+    o_pad = _pad_len(n_obs, pad_to)
+    pad = o_pad - n_obs
+    mask = np.concatenate([np.ones(n_obs, bool), np.zeros(pad, bool)])
+    point_idx = np.concatenate([point_idx, np.zeros(pad, np.int64)])
+    cam_idx = np.concatenate([cam_idx, np.zeros(pad, np.int64)])
+    obs_2d = np.concatenate([obs_2d, np.zeros((pad, 2))])
+
+    return BAProblem(
+        cams=jnp.asarray(cams, dtype),
+        points=jnp.asarray(world, dtype),
+        cam_idx=jnp.asarray(cam_idx, jnp.int32),
+        point_idx=jnp.asarray(point_idx, jnp.int32),
+        obs_2d=jnp.asarray(obs_2d, dtype),
+        mask=jnp.asarray(mask),
+    )

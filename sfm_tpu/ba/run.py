@@ -1,0 +1,96 @@
+"""High-level bundle-adjustment entry point.
+
+The analogue of the reference's DrawPointClouds BA section (SFM.py:91-210)
+minus the plotting: assemble the problem from tracks, solve, write refined
+world points back into the reconstruction.
+
+Deliberate deviation from the reference: the reference solves cameras and
+points *jointly*, then discards the refined cameras (SFM.py:181-183) — which
+leaves the kept points consistent with cameras that no longer exist; under
+gauge freedom the discarded camera drift shows up directly as reprojection
+error against the real calibration.  Here ``refine_cameras=False`` (the
+default, matching the reference's effective output contract "cameras stay at
+calibration") freezes cameras in the solve itself, which is both cheaper
+(no reduced camera system) and strictly better on the reference's own
+reprojection-error metric.  ``refine_cameras=True`` runs the joint solve and
+applies both.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.ba.problem import build_problem
+from sfm_tpu.ba.solver import solve_lm
+from sfm_tpu.config import BaConfig
+from sfm_tpu.sfm.pipeline import SparseReconstruction
+from sfm_tpu.utils.metrics import StageTimer
+
+
+def bundle_adjust(
+    recon: SparseReconstruction,
+    config: BaConfig = BaConfig(),
+    track_store=None,
+    mesh=None,
+):
+    """Refine a SparseReconstruction in place; returns (recon, info dict).
+
+    If ``mesh`` is given (a jax.sharding.Mesh with a 'data' axis), the
+    solve runs sharded over observations/points (ba.sharded).
+    """
+    timers = StageTimer()
+    dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
+    with timers.stage("assemble"):
+        problem = build_problem(
+            recon.calib, recon.world, recon.track_offsets, recon.track_obs,
+            dtype=dtype,
+        )
+    with timers.stage("solve"):
+        if mesh is not None:
+            from sfm_tpu.ba.sharded import solve_lm_sharded
+
+            cams, points, cost, iters = solve_lm_sharded(
+                problem,
+                mesh,
+                max_iterations=config.max_iterations,
+                ftol=config.ftol,
+                init_lambda=config.init_lambda,
+                lambda_up=config.lambda_up,
+                lambda_down=config.lambda_down,
+            )
+        else:
+            cams, points, cost, iters = solve_lm(
+                problem,
+                max_iterations=config.max_iterations,
+                ftol=config.ftol,
+                init_lambda=config.init_lambda,
+                lambda_up=config.lambda_up,
+                lambda_down=config.lambda_down,
+                optimize_cameras=config.refine_cameras,
+            )
+        points = np.asarray(points)
+        cams = np.asarray(cams)
+
+    recon.world = points[: recon.num_tracks].astype(np.float64)
+    if track_store is not None:
+        track_store.update_world(recon.world)
+    info = {
+        "final_cost": float(cost),
+        "iterations": int(iters),
+        "num_observations": problem.num_observations,
+        "num_points": recon.num_tracks,
+        "num_cameras": recon.calib.num_views,
+        "refined_cameras": bool(config.refine_cameras),
+        "timers": timers.times,
+    }
+    if config.refine_cameras:
+        info["cams11"] = cams
+    recon.metrics.record("ba_final_cost", info["final_cost"])
+    recon.metrics.record("ba_iterations", info["iterations"])
+    recon.metrics.record(
+        "ba_rms_reproj_after_px", recon.rms_reprojection_error()
+    )
+    return recon, info

@@ -76,8 +76,8 @@ class SfmConfig:
 class BaConfig:
     """Bundle adjustment (reference BundleAdjustment.py + SFM.py:91-210).
 
-    Same 11-parameter camera model as the reference:
-    [rvec(3), t(3), f, k1, k2, px, py] (SFM.py:143-148, BundleAdjustment.py:23-39),
+    Camera model: 12 parameters generalizing the reference's 11:
+    [rvec(3), t(3), fx, fy, k1, k2, px, py] (cf. SFM.py:143-148, BundleAdjustment.py:23-39),
     solved by Levenberg-Marquardt with a Schur-complement reduced camera system
     instead of scipy.optimize.least_squares(method='trf').
     """

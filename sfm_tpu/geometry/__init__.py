@@ -6,8 +6,8 @@ from sfm_tpu.geometry.rotations import (  # noqa: F401
 from sfm_tpu.geometry.projection import (  # noqa: F401
     projection_matrix,
     project_pinhole,
-    project_cam11,
-    pack_cam11,
+    project_cam,
+    pack_cam,
     reprojection_errors,
 )
 from sfm_tpu.geometry.triangulation import (  # noqa: F401

@@ -4,9 +4,14 @@ Two models, matching the reference:
 
 1. Pinhole P = K [R|t] for matching/triangulation/MVS (reference
    getProjectionMatrix utils.py:234-236, projectPoint utils.py:241-244).
-2. The 11-parameter BA camera [rvec(3), t(3), f, k1, k2, px, py] with radial
-   distortion (reference SFM.py:143-148 packing, BundleAdjustment.py:23-39
-   projection).  The reference initializes f = (fx+fy)/2 and k1 = k2 = 0.
+2. The BA camera vector with radial distortion, generalizing the reference's
+   11-parameter model [rvec(3), t(3), f, k1, k2, px, py] (SFM.py:143-148
+   packing, BundleAdjustment.py:23-39 projection) to 12 parameters with
+   *separate* fx, fy: [rvec(3), t(3), fx, fy, k1, k2, px, py].  The
+   reference's f = (fx+fy)/2 averaging is a baked-in model error on any
+   camera with fx != fy (dinoRing: 3310.4 vs 3325.5) that puts a floor under
+   its achievable reprojection error; fx = fy reproduces the reference model
+   exactly.
 """
 
 from __future__ import annotations
@@ -43,18 +48,24 @@ def project_pinhole(points, K, R, t):
     return jnp.stack([u, v], axis=-1)
 
 
-def pack_cam11(K, R_rotvec, t):
-    """Build the 11-param BA camera vector from calibration.
+CAM_PARAMS = 12
 
-    [rvec(3), t(3), f=(fx+fy)/2, k1=0, k2=0, px, py]  (reference SFM.py:143-148).
+
+def pack_cam(K, R_rotvec, t):
+    """Build the 12-param BA camera vector from calibration.
+
+    [rvec(3), t(3), fx, fy, k1=0, k2=0, px, py].  The reference packs
+    f=(fx+fy)/2 instead (SFM.py:143-148) — see module docstring.
     """
-    f = (K[..., 0, 0] + K[..., 1, 1]) * 0.5
-    zeros = jnp.zeros_like(f)
+    fx = K[..., 0, 0]
+    fy = K[..., 1, 1]
+    zeros = jnp.zeros_like(fx)
     return jnp.concatenate(
         [
             R_rotvec,
             t,
-            f[..., None],
+            fx[..., None],
+            fy[..., None],
             zeros[..., None],
             zeros[..., None],
             K[..., 0, 2][..., None],
@@ -64,19 +75,20 @@ def pack_cam11(K, R_rotvec, t):
     )
 
 
-def project_cam11(points, cams):
-    """Project points (..., 3) with 11-param cameras (..., 11) -> (..., 2).
+def project_cam(points, cams):
+    """Project points (..., 3) with 12-param cameras (..., 12) -> (..., 2).
 
     rotate -> translate -> perspective divide -> radial distortion
-    r = 1 + k1 n + k2 n^2 (n = x^2+y^2) -> scale by f -> add principal point.
-    Mirrors the reference ``project`` (BundleAdjustment.py:23-39) exactly.
+    r = 1 + k1 n + k2 n^2 (n = x^2+y^2) -> scale by (fx, fy) -> add principal
+    point.  With fx = fy this is the reference ``project``
+    (BundleAdjustment.py:23-39) exactly.
     """
     rv = cams[..., 0:3]
     t = cams[..., 3:6]
-    f = cams[..., 6:7]
-    k1 = cams[..., 7:8]
-    k2 = cams[..., 8:9]
-    pp = cams[..., 9:11]
+    f = cams[..., 6:8]
+    k1 = cams[..., 8:9]
+    k2 = cams[..., 9:10]
+    pp = cams[..., 10:12]
     cam = rotate_points(points, rv) + t
     z = jnp.where(jnp.abs(cam[..., 2:3]) < _EPS, _EPS, cam[..., 2:3])
     xy = cam[..., :2] / z

@@ -19,16 +19,25 @@ def rotate_points(points, rotvecs):
     """Rotate ``points`` (..., 3) by axis-angle ``rotvecs`` (..., 3).
 
     Rodrigues formula: v' = v cosθ + (k × v) sinθ + k (k·v)(1 − cosθ).
-    Matches the reference BA ``rotate`` (BundleAdjustment.py:8-21).
+    Matches the reference BA ``rotate`` (BundleAdjustment.py:8-21), but is
+    differentiable at θ = 0: the θ→0 neighbourhood takes a second-order
+    Taylor branch, with the main branch's sqrt argument clamped away from
+    zero so autodiff never sees 0/0 (the reference instead papers over the
+    NaN with nan_to_num, BundleAdjustment.py:14-16).
     """
-    theta = jnp.linalg.norm(rotvecs, axis=-1, keepdims=True)
-    # Safe unit axis; where theta ~ 0 the sin/cos terms degrade gracefully.
-    k = rotvecs / jnp.maximum(theta, _EPS)
+    theta2 = jnp.sum(rotvecs * rotvecs, axis=-1, keepdims=True)
+    small = theta2 < 1e-14
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    k = rotvecs / theta
     cos = jnp.cos(theta)
     sin = jnp.sin(theta)
     dot = jnp.sum(k * points, axis=-1, keepdims=True)
     cross = jnp.cross(k, points)
-    return points * cos + cross * sin + k * dot * (1.0 - cos)
+    main = points * cos + cross * sin + k * dot * (1.0 - cos)
+    # v + ω×v + 0.5 ω×(ω×v): exact to O(θ^3), smooth at 0.
+    cross_w = jnp.cross(rotvecs, points)
+    taylor = points + cross_w + 0.5 * jnp.cross(rotvecs, cross_w)
+    return jnp.where(small, taylor, main)
 
 
 def rodrigues_matrix(rotvecs):

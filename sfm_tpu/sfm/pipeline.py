@@ -72,10 +72,7 @@ class SparseReconstruction:
     def track_lengths(self) -> np.ndarray:
         return np.diff(self.track_offsets)
 
-    def mean_reprojection_error(self) -> float:
-        """Mean pixel reprojection error over all observations."""
-        if self.num_observations == 0:
-            return float("nan")
+    def _reprojection_error_vec(self) -> np.ndarray:
         point_idx = np.repeat(
             np.arange(self.num_tracks), self.track_lengths()
         )
@@ -85,10 +82,23 @@ class SparseReconstruction:
         R = jnp.asarray(self.calib.R[cam_idx])
         t = jnp.asarray(self.calib.t[cam_idx])
         proj = project_pinhole(pts, K, R, t)
-        err = np.linalg.norm(
+        return np.linalg.norm(
             np.asarray(proj) - self.track_obs[:, 1:3], axis=-1
         )
-        return float(err.mean())
+
+    def mean_reprojection_error(self) -> float:
+        """Mean pixel reprojection error over all observations."""
+        if self.num_observations == 0:
+            return float("nan")
+        return float(self._reprojection_error_vec().mean())
+
+    def rms_reprojection_error(self) -> float:
+        """RMS pixel reprojection error — the metric BA's least-squares
+        objective actually optimizes."""
+        if self.num_observations == 0:
+            return float("nan")
+        e = self._reprojection_error_vec()
+        return float(np.sqrt(np.mean(e * e)))
 
     def export_ply(self, path: str) -> None:
         from sfm_tpu.io.ply import export_ply

@@ -1,0 +1,218 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sfm_tpu.ba.model import residuals, total_cost, jacobian_blocks
+from sfm_tpu.ba.problem import BAProblem, build_problem
+from sfm_tpu.ba.solver import solve_lm
+from sfm_tpu.ba.run import bundle_adjust
+from sfm_tpu.config import BaConfig, PipelineConfig, FeatureConfig
+from sfm_tpu.geometry.projection import project_cam
+
+
+def synthetic_problem(rng, n_cams=6, n_pts=150, noise_3d=0.05, noise_px=0.0,
+                      dtype=jnp.float64):
+    """Ring of cameras looking at a blob of points; noisy initial points."""
+    import scipy.spatial.transform as st
+
+    pts_true = rng.normal(size=(n_pts, 3)) * 0.4
+    cams = []
+    for i in range(n_cams):
+        ang = 2 * np.pi * i / n_cams
+        Rm = st.Rotation.from_euler("y", ang).as_matrix()
+        C = np.array([3.0 * np.sin(ang), 0.3, -3.0 * np.cos(ang)])
+        t = -Rm @ C
+        rv = st.Rotation.from_matrix(Rm).as_rotvec()
+        cams.append(
+            np.concatenate([rv, t, [800.0, 805.0, 0, 0, 320.0, 240.0]])
+        )
+    cams = np.asarray(cams)
+
+    cam_idx, point_idx, obs = [], [], []
+    for c in range(n_cams):
+        proj = np.asarray(
+            project_cam(jnp.asarray(pts_true), jnp.asarray(cams[c][None]))
+        )
+        for p in range(n_pts):
+            cam_idx.append(c)
+            point_idx.append(p)
+            obs.append(proj[p])
+    obs = np.asarray(obs)
+    if noise_px > 0:
+        obs = obs + rng.normal(size=obs.shape) * noise_px
+    pts_init = pts_true + rng.normal(size=pts_true.shape) * noise_3d
+
+    o = len(cam_idx)
+    problem = BAProblem(
+        cams=jnp.asarray(cams, dtype),
+        points=jnp.asarray(pts_init, dtype),
+        cam_idx=jnp.asarray(cam_idx, jnp.int32),
+        point_idx=jnp.asarray(point_idx, jnp.int32),
+        obs_2d=jnp.asarray(obs, dtype),
+        mask=jnp.ones(o, bool),
+    )
+    return problem, pts_true
+
+
+class TestModel:
+    def test_zero_residual_at_truth(self, rng):
+        problem, pts_true = synthetic_problem(rng, noise_3d=0.0)
+        c = total_cost(
+            problem.cams, problem.points, problem.cam_idx,
+            problem.point_idx, problem.obs_2d, problem.mask,
+        )
+        assert float(c) < 1e-10
+
+    def test_jacobian_matches_fd(self, rng):
+        problem, _ = synthetic_problem(rng, n_cams=2, n_pts=5)
+        Jc, Jp, r = jacobian_blocks(
+            problem.cams, problem.points, problem.cam_idx,
+            problem.point_idx, problem.obs_2d, problem.mask,
+        )
+        # Finite-difference check on a few observations.
+        eps = 1e-6
+        for o in [0, 3, 7]:
+            ci = int(problem.cam_idx[o])
+            pi = int(problem.point_idx[o])
+            for j in range(12):
+                cams_p = problem.cams.at[ci, j].add(eps)
+                rp = residuals(
+                    cams_p, problem.points, problem.cam_idx,
+                    problem.point_idx, problem.obs_2d, problem.mask,
+                )[o]
+                fd = (np.asarray(rp) - np.asarray(r[o])) / eps
+                assert np.allclose(fd, np.asarray(Jc[o, :, j]), atol=1e-3)
+            for j in range(3):
+                pts_p = problem.points.at[pi, j].add(eps)
+                rp = residuals(
+                    problem.cams, pts_p, problem.cam_idx,
+                    problem.point_idx, problem.obs_2d, problem.mask,
+                )[o]
+                fd = (np.asarray(rp) - np.asarray(r[o])) / eps
+                assert np.allclose(fd, np.asarray(Jp[o, :, j]), atol=1e-3)
+
+    def test_masked_rows_zero(self, rng):
+        problem, _ = synthetic_problem(rng, n_cams=2, n_pts=5)
+        mask = problem.mask.at[0].set(False)
+        Jc, Jp, r = jacobian_blocks(
+            problem.cams, problem.points, problem.cam_idx,
+            problem.point_idx, problem.obs_2d, mask,
+        )
+        assert float(jnp.abs(r[0]).max()) == 0.0
+        assert float(jnp.abs(Jc[0]).max()) == 0.0
+        assert float(jnp.abs(Jp[0]).max()) == 0.0
+
+
+class TestSolver:
+    def test_joint_solve_reaches_zero_cost(self, rng):
+        # Joint BA has gauge freedom (a similarity transform of cameras +
+        # points leaves residuals unchanged), so assert on cost, not on
+        # exact point recovery.
+        problem, pts_true = synthetic_problem(rng, noise_3d=0.05)
+        cams, pts, cost, iters = solve_lm(problem, max_iterations=30)
+        assert float(cost) < 1e-6
+        assert int(iters) <= 30
+        # Points still near truth (small noise, small drift).
+        assert np.abs(np.asarray(pts) - pts_true).max() < 0.1
+
+    def test_points_only_solve(self, rng):
+        problem, pts_true = synthetic_problem(rng, noise_3d=0.05)
+        cams, pts, cost, _ = solve_lm(
+            problem, max_iterations=30, optimize_cameras=False
+        )
+        # Cameras must be untouched.
+        assert np.array_equal(np.asarray(cams), np.asarray(problem.cams))
+        assert float(cost) < 1e-6
+        assert np.abs(np.asarray(pts) - pts_true).max() < 1e-3
+
+    def test_noisy_observations_converge(self, rng):
+        problem, _ = synthetic_problem(rng, noise_3d=0.1, noise_px=0.5)
+        c0 = total_cost(
+            problem.cams, problem.points, problem.cam_idx,
+            problem.point_idx, problem.obs_2d, problem.mask,
+        )
+        _, _, cost, _ = solve_lm(problem, max_iterations=40)
+        assert float(cost) < 0.1 * float(c0)
+
+    def test_matches_scipy_trf(self, rng):
+        from scipy.optimize import least_squares
+        from scipy.sparse import lil_matrix
+
+        problem, _ = synthetic_problem(
+            rng, n_cams=4, n_pts=60, noise_3d=0.08, noise_px=0.3
+        )
+        n_cams, n_pts = 4, 60
+        cam_idx = np.asarray(problem.cam_idx)
+        point_idx = np.asarray(problem.point_idx)
+        obs = np.asarray(problem.obs_2d)
+        n_obs = len(cam_idx)
+
+        def fun(x):
+            cams = x[: n_cams * 12].reshape(n_cams, 12)
+            pts = x[n_cams * 12:].reshape(n_pts, 3)
+            r = np.asarray(
+                residuals(
+                    jnp.asarray(cams), jnp.asarray(pts),
+                    problem.cam_idx, problem.point_idx, problem.obs_2d,
+                )
+            )
+            return r.ravel()
+
+        A = lil_matrix((2 * n_obs, 12 * n_cams + 3 * n_pts), dtype=int)
+        i = np.arange(n_obs)
+        for s in range(12):
+            A[2 * i, cam_idx * 12 + s] = 1
+            A[2 * i + 1, cam_idx * 12 + s] = 1
+        for s in range(3):
+            A[2 * i, 12 * n_cams + point_idx * 3 + s] = 1
+            A[2 * i + 1, 12 * n_cams + point_idx * 3 + s] = 1
+
+        x0 = np.concatenate(
+            [np.asarray(problem.cams).ravel(), np.asarray(problem.points).ravel()]
+        )
+        res = least_squares(
+            fun, x0, jac_sparsity=A, method="trf", x_scale="jac", ftol=1e-6
+        )
+        _, _, cost, _ = solve_lm(problem, max_iterations=60, ftol=1e-8)
+        # Our LM must reach (essentially) the same optimum as scipy TRF.
+        assert float(cost) <= 1.05 * res.cost + 1e-9
+
+    def test_padding_invariance(self, rng):
+        problem, _ = synthetic_problem(rng, n_cams=3, n_pts=40, noise_3d=0.05)
+        o = problem.obs_2d.shape[0]
+        pad = 37
+        padded = BAProblem(
+            cams=problem.cams,
+            points=problem.points,
+            cam_idx=jnp.concatenate(
+                [problem.cam_idx, jnp.zeros(pad, jnp.int32)]
+            ),
+            point_idx=jnp.concatenate(
+                [problem.point_idx, jnp.zeros(pad, jnp.int32)]
+            ),
+            obs_2d=jnp.concatenate([problem.obs_2d, jnp.zeros((pad, 2))]),
+            mask=jnp.concatenate([problem.mask, jnp.zeros(pad, bool)]),
+        )
+        _, pts_a, cost_a, _ = solve_lm(problem, max_iterations=20)
+        _, pts_b, cost_b, _ = solve_lm(padded, max_iterations=20)
+        assert np.allclose(float(cost_a), float(cost_b), rtol=1e-6)
+        assert np.allclose(np.asarray(pts_a), np.asarray(pts_b), atol=1e-8)
+
+
+class TestPipelineBA:
+    def test_dino_ba_improves_reprojection(self, dino_images, dino_calib):
+        imgs, _ = dino_images
+        cfg = PipelineConfig(
+            features=FeatureConfig(max_corners=2048, max_matches=1024),
+        )
+        from sfm_tpu.sfm import structure_from_motion
+
+        recon = structure_from_motion(imgs, dino_calib.subset(range(8)), cfg)
+        before = recon.rms_reprojection_error()
+        recon, info = bundle_adjust(recon, BaConfig(dtype="float64"))
+        after = recon.rms_reprojection_error()
+        assert info["final_cost"] > 0
+        # BA minimizes the sum of squared errors -> RMS must not increase.
+        assert after <= before
+        assert after < 0.3  # track-merged cloud refined below the gate level

@@ -9,8 +9,8 @@ from sfm_tpu.geometry import (
     rotate_points,
     projection_matrix,
     project_pinhole,
-    project_cam11,
-    pack_cam11,
+    project_cam,
+    pack_cam,
     triangulate_dlt,
     ray_plane_intersection,
     eight_point,
@@ -94,17 +94,15 @@ class TestProjection:
         )
         assert np.allclose(got, expect.reshape(-1, 2), atol=1e-3)
 
-    def test_cam11_matches_pinhole_no_distortion(self, rng, dino_calib):
-        # With k1=k2=0 and fx~fy the 11-param model ~= pinhole with f=(fx+fy)/2.
+    def test_cam_matches_pinhole_no_distortion(self, rng, dino_calib):
+        # With k1=k2=0 the 12-param model == pinhole with the true fx, fy.
         K = dino_calib.K[0].copy()
-        f = (K[0, 0] + K[1, 1]) / 2
-        K[0, 0] = K[1, 1] = f
         K[0, 1] = 0.0
         R, t = dino_calib.R[0], dino_calib.t[0]
         rv = rodrigues_vector(jnp.asarray(R)[None])[0]
-        cam = pack_cam11(jnp.asarray(K), rv, jnp.asarray(t))
+        cam = pack_cam(jnp.asarray(K), rv, jnp.asarray(t))
         pts = rng.normal(size=(40, 3)) * 0.05
-        got = project_cam11(jnp.asarray(pts), cam[None, :])
+        got = project_cam(jnp.asarray(pts), cam[None, :])
         expect = project_pinhole(
             jnp.asarray(pts), jnp.asarray(K), jnp.asarray(R), jnp.asarray(t)
         )
@@ -112,10 +110,12 @@ class TestProjection:
 
     def test_radial_distortion_direction(self):
         # Positive k1 pushes points outward from principal point.
-        cam = jnp.asarray([[0.0, 0, 0, 0, 0, 1.0, 100.0, 0.1, 0.0, 0.0, 0.0]])
+        cam = jnp.asarray(
+            [[0.0, 0, 0, 0, 0, 1.0, 100.0, 100.0, 0.1, 0.0, 0.0, 0.0]]
+        )
         pt = jnp.asarray([[0.5, 0.0, 1.0]])
-        undist = project_cam11(pt, cam.at[:, 7].set(0.0))
-        dist = project_cam11(pt, cam)
+        undist = project_cam(pt, cam.at[:, 8].set(0.0))
+        dist = project_cam(pt, cam)
         assert dist[0, 0] > undist[0, 0] > 0
 
 
