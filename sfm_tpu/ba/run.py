@@ -60,6 +60,7 @@ def bundle_adjust(
                 init_lambda=config.init_lambda,
                 lambda_up=config.lambda_up,
                 lambda_down=config.lambda_down,
+                optimize_cameras=config.refine_cameras,
             )
         else:
             cams, points, cost, iters = solve_lm(

@@ -50,7 +50,13 @@ class _Blocks:
     b_p: jnp.ndarray    # (T, 3)
 
 
-def _assemble(problem: BAProblem, cams, points):
+def _preduce(x, axis_name):
+    """Cross-shard sum when running under shard_map (observations sharded
+    along ``axis_name``); identity single-device."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def _assemble(problem: BAProblem, cams, points, axis_name=None):
     Jc, Jp, r = jacobian_blocks(
         cams, points, problem.cam_idx, problem.point_idx, problem.obs_2d,
         problem.mask,
@@ -60,13 +66,19 @@ def _assemble(problem: BAProblem, cams, points):
     UtU = jnp.einsum("oki,okj->oij", Jc, Jc)
     VtV = jnp.einsum("oki,okj->oij", Jp, Jp)
     W = jnp.einsum("oki,okj->oij", Jc, Jp)
-    U = jax.ops.segment_sum(UtU, problem.cam_idx, n_cams)
-    V = jax.ops.segment_sum(VtV, problem.point_idx, n_pts)
-    b_c = -jax.ops.segment_sum(
-        jnp.einsum("oki,ok->oi", Jc, r), problem.cam_idx, n_cams
+    U = _preduce(jax.ops.segment_sum(UtU, problem.cam_idx, n_cams), axis_name)
+    V = _preduce(jax.ops.segment_sum(VtV, problem.point_idx, n_pts), axis_name)
+    b_c = -_preduce(
+        jax.ops.segment_sum(
+            jnp.einsum("oki,ok->oi", Jc, r), problem.cam_idx, n_cams
+        ),
+        axis_name,
     )
-    b_p = -jax.ops.segment_sum(
-        jnp.einsum("oki,ok->oi", Jp, r), problem.point_idx, n_pts
+    b_p = -_preduce(
+        jax.ops.segment_sum(
+            jnp.einsum("oki,ok->oi", Jp, r), problem.point_idx, n_pts
+        ),
+        axis_name,
     )
     return _Blocks(U, V, W, b_c, b_p)
 
@@ -78,21 +90,26 @@ def _damp_diag(M, lam, eps=1e-8):
     return M + jax.vmap(jnp.diag)(add.reshape(-1, M.shape[-1])).reshape(M.shape)
 
 
-def _schur_matvec(x, blocks, Vinv, problem):
+def _schur_matvec(x, blocks, Vinv, problem, axis_name=None):
     """S·x for the reduced camera system, matrix-free over observations.
 
     S = U_λ − Σ_p W̃_p V_λp^{-1} W̃_p^T with W̃_p the stacked per-camera
-    coupling of point p; each product is three segment passes.
+    coupling of point p; each product is three segment passes (sharded:
+    two psums over the data axis, riding ICI).
     """
     cam_idx = problem.cam_idx
     point_idx = problem.point_idx
     n_pts = blocks.V.shape[0]
     Ux = jnp.einsum("nij,nj->ni", blocks.U_lam, x)
     a = jnp.einsum("oij,oi->oj", blocks.W, x[cam_idx])          # (O, 3)
-    a_p = jax.ops.segment_sum(a, point_idx, n_pts)               # (T, 3)
+    a_p = _preduce(
+        jax.ops.segment_sum(a, point_idx, n_pts), axis_name
+    )                                                            # (T, 3)
     b_vp = jnp.einsum("pij,pj->pi", Vinv, a_p)                   # (T, 3)
     contrib = jnp.einsum("oij,oj->oi", blocks.W, b_vp[point_idx])
-    red = jax.ops.segment_sum(contrib, cam_idx, blocks.U.shape[0])
+    red = _preduce(
+        jax.ops.segment_sum(contrib, cam_idx, blocks.U.shape[0]), axis_name
+    )
     return Ux - red
 
 
@@ -136,36 +153,34 @@ class _SchurBlocks(NamedTuple):
     V: jnp.ndarray
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "max_iterations", "optimize_cameras", "cg_iters",
-    ),
-)
-def solve_lm(
+def _lm_impl(
     problem: BAProblem,
-    max_iterations: int = 50,
-    ftol: float = 1e-4,
-    init_lambda: float = 1e-3,
-    lambda_up: float = 4.0,
-    lambda_down: float = 0.5,
-    optimize_cameras: bool = True,
-    cg_iters: int = 100,
-    cg_tol: float = 1e-6,
+    max_iterations: int,
+    ftol: float,
+    init_lambda: float,
+    lambda_up: float,
+    lambda_down: float,
+    optimize_cameras: bool,
+    cg_iters: int,
+    cg_tol: float,
+    axis_name=None,
 ):
-    """Run LM; returns (cams, points, final_cost, iterations).
+    """LM loop body, single-device (axis_name=None) or SPMD under shard_map
+    (observations sharded along axis_name; cams/points replicated)."""
 
-    The reference optimizes cameras and points jointly and later discards the
-    camera solution (SFM.py:181-183); ``optimize_cameras=False`` instead
-    freezes cameras in the solve itself (cheaper: no reduced system at all).
-    """
-    cost0 = total_cost(
-        problem.cams, problem.points, problem.cam_idx, problem.point_idx,
-        problem.obs_2d, problem.mask,
-    )
+    def cost_of(cams, points):
+        c = total_cost(
+            cams, points, problem.cam_idx, problem.point_idx,
+            problem.obs_2d, problem.mask,
+        )
+        return _preduce(c, axis_name)
+
+    cost0 = cost_of(problem.cams, problem.points)
 
     def step(state: LMState) -> LMState:
-        blocks = _assemble(problem, state.cams, state.points)
+        blocks = _assemble(
+            problem, state.cams, state.points, axis_name=axis_name
+        )
         V_lam = _damp_diag(blocks.V, state.lam)
         Vinv = jnp.linalg.inv(V_lam)
         n_pts = blocks.V.shape[0]
@@ -178,15 +193,20 @@ def solve_lm(
             contrib = jnp.einsum(
                 "oij,oj->oi", blocks.W, vb[problem.point_idx]
             )
-            g = blocks.b_c - jax.ops.segment_sum(
-                contrib, problem.cam_idx, blocks.U.shape[0]
+            g = blocks.b_c - _preduce(
+                jax.ops.segment_sum(
+                    contrib, problem.cam_idx, blocks.U.shape[0]
+                ),
+                axis_name,
             )
             Minv = jnp.linalg.inv(U_lam)
-            mv = lambda x: _schur_matvec(x, sb, Vinv, problem)
+            mv = lambda x: _schur_matvec(x, sb, Vinv, problem, axis_name)
             dc = _pcg(mv, g, Minv, cg_iters, cg_tol)
             # Back-substitute points: dp = V^{-1} (b_p − W̃^T dc).
             wtd = jnp.einsum("oij,oi->oj", blocks.W, dc[problem.cam_idx])
-            wtd_p = jax.ops.segment_sum(wtd, problem.point_idx, n_pts)
+            wtd_p = _preduce(
+                jax.ops.segment_sum(wtd, problem.point_idx, n_pts), axis_name
+            )
             dp = jnp.einsum("pij,pj->pi", Vinv, blocks.b_p - wtd_p)
         else:
             dc = jnp.zeros_like(state.cams)
@@ -194,10 +214,7 @@ def solve_lm(
 
         new_cams = state.cams + dc
         new_points = state.points + dp
-        new_cost = total_cost(
-            new_cams, new_points, problem.cam_idx, problem.point_idx,
-            problem.obs_2d, problem.mask,
-        )
+        new_cost = cost_of(new_cams, new_points)
         accept = new_cost < state.cost
         rel_decrease = (state.cost - new_cost) / jnp.maximum(state.cost, 1e-30)
         done = accept & (rel_decrease < ftol)
@@ -225,3 +242,39 @@ def solve_lm(
     )
     final = jax.lax.while_loop(cond, step, init)
     return final.cams, final.points, final.cost, final.iteration
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iterations", "optimize_cameras", "cg_iters"),
+)
+def solve_lm(
+    problem: BAProblem,
+    max_iterations: int = 50,
+    ftol: float = 1e-4,
+    init_lambda: float = 1e-3,
+    lambda_up: float = 4.0,
+    lambda_down: float = 0.5,
+    optimize_cameras: bool = True,
+    cg_iters: int = 100,
+    cg_tol: float = 1e-6,
+):
+    """Run LM single-device; returns (cams, points, final_cost, iterations).
+
+    The reference optimizes cameras and points jointly and later discards the
+    camera solution (SFM.py:181-183); ``optimize_cameras=False`` instead
+    freezes cameras in the solve itself (cheaper: no reduced system at all).
+    For the multi-device variant see ba.sharded.solve_lm_sharded.
+    """
+    return _lm_impl(
+        problem,
+        max_iterations=max_iterations,
+        ftol=ftol,
+        init_lambda=init_lambda,
+        lambda_up=lambda_up,
+        lambda_down=lambda_down,
+        optimize_cameras=optimize_cameras,
+        cg_iters=cg_iters,
+        cg_tol=cg_tol,
+        axis_name=None,
+    )

@@ -1,0 +1,68 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sfm_tpu.ba.sharded import solve_lm_sharded, shard_problem
+from sfm_tpu.ba.solver import solve_lm
+from sfm_tpu.parallel.mesh import data_mesh, pad_to_shards
+
+from tests.test_ba import synthetic_problem
+
+
+def test_mesh_has_8_devices():
+    mesh = data_mesh()
+    assert mesh.shape["data"] == 8
+
+
+def test_pad_to_shards():
+    arr = np.arange(10)
+    padded, mask = pad_to_shards(arr, 4)
+    assert padded.shape[0] == 12
+    assert mask.sum() == 10
+
+
+def test_shard_problem_padding(rng):
+    problem, _ = synthetic_problem(rng, n_cams=3, n_pts=20)
+    p8 = shard_problem(problem, 8)
+    assert p8.obs_2d.shape[0] % 8 == 0
+    assert int(p8.mask.sum()) == int(problem.mask.sum())
+
+
+@pytest.mark.parametrize("optimize_cameras", [True, False])
+def test_sharded_matches_single_device(rng, optimize_cameras):
+    problem, _ = synthetic_problem(
+        rng, n_cams=5, n_pts=100, noise_3d=0.08, noise_px=0.3
+    )
+    mesh = data_mesh()
+    cams_s, pts_s, cost_s, it_s = solve_lm_sharded(
+        problem, mesh, max_iterations=15, optimize_cameras=optimize_cameras
+    )
+    cams_1, pts_1, cost_1, it_1 = solve_lm(
+        problem, max_iterations=15, optimize_cameras=optimize_cameras
+    )
+    # Same algorithm, same data, deterministic reductions in f64 -> the
+    # sharded run must track the single-device run to numerical noise.
+    assert np.isclose(float(cost_s), float(cost_1), rtol=1e-6)
+    assert int(it_s) == int(it_1)
+    assert np.allclose(np.asarray(pts_s), np.asarray(pts_1), atol=1e-6)
+
+
+def test_sharded_dino_ba(dino_images, dino_calib):
+    from sfm_tpu.config import PipelineConfig, FeatureConfig, BaConfig
+    from sfm_tpu.sfm import structure_from_motion
+    from sfm_tpu.ba.run import bundle_adjust
+
+    imgs, _ = dino_images
+    cfg = PipelineConfig(
+        features=FeatureConfig(max_corners=1024, max_matches=512),
+    )
+    recon = structure_from_motion(imgs, dino_calib.subset(range(8)), cfg)
+    before = recon.rms_reprojection_error()
+    mesh = data_mesh()
+    recon, info = bundle_adjust(
+        recon, BaConfig(dtype="float64"), mesh=mesh
+    )
+    after = recon.rms_reprojection_error()
+    assert after <= before
+    assert after < 0.3
