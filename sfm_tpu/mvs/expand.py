@@ -1,0 +1,154 @@
+"""Frontier-round patch expansion.
+
+The reference's dominant hot loop (patch_expansion, MVS2.py:308-404): a FIFO
+of patches, each popping up to |V|*4 candidate cells, each candidate costing
+N_images NCC tests in interpreted Python, capped at 100k iterations.
+
+TPU re-formulation (SURVEY.md §7): *rounds*.  Each round takes the whole
+frontier (patches accepted last round), enumerates every (hit, diagonal
+neighbor) candidate cell at once, back-projects cell centers, intersects the
+parent patch planes, scores the entire candidate batch with one
+photo-consistency program, applies the reference's acceptance rules
+(>= bound views, coplanarity < 0.1, radius < 0.05/scale — MVS2.py:369)
+vectorized, deduplicates intra-round cell claims by best score, and
+scatter-updates occupancy.  Deliberate fixes over the reference, per
+SURVEY.md §7 (they contradict the code's own intent): neighbor cells use
+(i, j) not the (i, i) typo (MVS2.py:334); each view is projected with its
+own camera (MVS2.py:68); an accepted patch also occupies its target cell in
+its reference image (the reference only fills non-reference hits, leaving
+the target cell forever vacant and re-claimable — unbounded duplicate work
+that its 100k-iteration cap hides).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sfm_tpu.config import MvsConfig
+from sfm_tpu.geometry.triangulation import (
+    backproject_pixel,
+    ray_plane_intersection,
+)
+from sfm_tpu.mvs.cells import (
+    cell_center,
+    fill_cells,
+    is_vacant,
+    which_cell,
+)
+from sfm_tpu.mvs.photoconsistency import photo_consistency
+
+_OFFSETS = jnp.asarray([[-1, -1], [-1, 1], [1, -1], [1, 1]], jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "visible_lower_bound", "round_capacity"),
+)
+def expansion_round(
+    gray,
+    K, R, t, centers_cam,
+    occupancy,
+    f_c, f_n, f_vis, f_proj, f_valid,
+    config: MvsConfig,
+    visible_lower_bound: int,
+    round_capacity: int,
+    scale: float,
+):
+    """One expansion round over the frontier.
+
+    Frontier arrays: f_c (F,3), f_n (F,3), f_vis (F,N), f_proj (F,N,2),
+    f_valid (F,).  Returns (accepted dict with capacity ``round_capacity``,
+    new occupancy, n_candidates considered).
+    """
+    n_img = gray.shape[0]
+    F = f_c.shape[0]
+
+    # --- Candidate enumeration: (F, N, 4) -> compact to round_capacity. ---
+    hit_cell = which_cell(f_proj, config.cell_size)            # (F, N, 2)
+    cand_cell = hit_cell[:, :, None, :] + _OFFSETS[None, None]  # (F, N, 4, 2)
+    img_ids = jnp.broadcast_to(
+        jnp.arange(n_img, dtype=jnp.int32)[None, :, None], (F, n_img, 4)
+    )
+    vacant = is_vacant(occupancy, img_ids, cand_cell)
+    cand_ok = f_valid[:, None, None] & f_vis[:, :, None] & vacant
+
+    flat_ok = cand_ok.reshape(-1)
+    (sel,) = jnp.nonzero(
+        flat_ok, size=round_capacity, fill_value=flat_ok.shape[0] - 1
+    )
+    sel_valid = flat_ok[sel]
+    n_candidates = jnp.sum(flat_ok.astype(jnp.int32))
+
+    parent = (sel // (n_img * 4)).astype(jnp.int32)
+    img = ((sel // 4) % n_img).astype(jnp.int32)
+    cell = cand_cell.reshape(-1, 2)[sel]
+
+    # --- Geometry: back-project cell center, intersect parent plane. ---
+    center_pix = cell_center(cell, config.cell_size)
+    O, ray = backproject_pixel(center_pix, K[img], R[img], t[img])
+    c_new, ray_ok = ray_plane_intersection(O, ray, f_c[parent], f_n[parent])
+    dvec = centers_cam[img] - c_new
+    dist = jnp.linalg.norm(dvec, axis=-1)
+    n_new = dvec / jnp.maximum(dist[:, None], 1e-12)
+
+    # --- Photo-consistency for the whole batch. ---
+    vis, proj, score, cnt = photo_consistency(
+        gray, K, R, t, c_new, img, config.min_ncc_expand, config.patch_wid
+    )
+
+    # --- Acceptance (MVS2.py:369). ---
+    d = c_new - f_c[parent]
+    coplanar = (
+        jnp.abs(
+            jnp.sum(d * f_n[parent], axis=-1) + jnp.sum(d * n_new, axis=-1)
+        )
+        < config.coplanarity_threshold
+    )
+    near = (
+        jnp.linalg.norm(d, axis=-1) < config.neighbor_radius_scaled / scale
+    )
+    finite = jnp.all(jnp.isfinite(c_new), axis=-1)
+    accept = (
+        sel_valid
+        & ray_ok
+        & finite
+        & (cnt >= visible_lower_bound)
+        & coplanar
+        & near
+    )
+
+    # --- Intra-round dedup: one winner per target cell (the parallel
+    # analogue of the reference's first-come sequential claim). ---
+    cx, cy = occupancy.shape[1], occupancy.shape[2]
+    lin = (
+        img * cx + jnp.clip(cell[:, 0], 0, cx - 1)
+    ) * cy + jnp.clip(cell[:, 1], 0, cy - 1)
+    idx = jnp.arange(round_capacity)
+    claim_key = jnp.where(accept, score - idx * 1e-7, -jnp.inf)
+    best = jnp.full((occupancy.size,), -jnp.inf, claim_key.dtype)
+    best = best.at[lin].max(claim_key)
+    accept = accept & (claim_key >= best[lin]) & jnp.isfinite(claim_key)
+
+    # --- Occupancy update: visible hits + own target/ref cells. ---
+    hit_cells_new = which_cell(proj, config.cell_size)          # (C, N, 2)
+    img_ids_all = jnp.broadcast_to(
+        jnp.arange(n_img, dtype=jnp.int32)[None, :], vis.shape
+    )
+    occupancy = fill_cells(
+        occupancy, img_ids_all, hit_cells_new, vis & accept[:, None]
+    )
+    occupancy = fill_cells(occupancy, img, cell, accept)
+
+    accepted = {
+        "c": c_new,
+        "n": n_new,
+        "ref": img,
+        "vis": vis,
+        "proj": proj,
+        "score": score,
+        "valid": accept,
+    }
+    return accepted, occupancy, n_candidates

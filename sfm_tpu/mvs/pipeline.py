@@ -1,0 +1,140 @@
+"""Dense reconstruction orchestrator (reference DensePointsWithMVS2,
+MVS2.py:176-295, re-architected as seeding + frontier rounds).
+
+Work budgeting: the reference caps its BFS at 100k *queue iterations*
+(MVS2.py:321), each considering up to |V|*4 candidates.  Here the analogous
+budget is ``MvsConfig.max_patches`` accepted patches / ``max_rounds`` rounds;
+the host loop stops early when a round accepts nothing (frontier dry).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_tpu.config import MvsConfig
+from sfm_tpu.io.calib import Calibration
+from sfm_tpu.io.images import to_gray
+from sfm_tpu.mvs.cells import make_occupancy
+from sfm_tpu.mvs.expand import expansion_round
+from sfm_tpu.mvs.seed import build_seed_candidates, seed_patches
+from sfm_tpu.sfm.pipeline import SparseReconstruction
+from sfm_tpu.utils.metrics import Metrics, StageTimer
+
+
+@dataclass
+class DenseReconstruction:
+    """Dense colored point cloud + per-patch geometry."""
+
+    points: np.ndarray    # (D, 3) float32 patch centroids
+    colors: np.ndarray    # (D, 3) uint8
+    normals: np.ndarray   # (D, 3) float32
+    scores: np.ndarray    # (D,) float32 mean NCC
+    num_seeds: int
+    metrics: Metrics = field(default_factory=Metrics)
+    timers: Optional[StageTimer] = None
+
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+    def export_ply(self, path: str) -> None:
+        from sfm_tpu.io.ply import export_ply
+
+        export_ply(path, self.points, self.colors)
+
+
+def _sample_colors(images, ref_idx, proj):
+    """Nearest-pixel RGB at each patch's reference projection
+    (the reference samples int pixel colors, MVS2.py:119-120)."""
+    n, h, w, _ = images.shape
+    pix = proj[jnp.arange(proj.shape[0]), ref_idx]        # (M, 2)
+    x = jnp.clip(jnp.round(pix[:, 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(pix[:, 1]).astype(jnp.int32), 0, h - 1)
+    return images[ref_idx, y, x]
+
+
+def dense_reconstruction(
+    images: np.ndarray,
+    calib: Calibration,
+    recon: SparseReconstruction,
+    config: MvsConfig = MvsConfig(),
+    scale: float = 1.0,
+) -> DenseReconstruction:
+    """Run patch-based MVS from SfM tracks."""
+    timers = StageTimer()
+    metrics = Metrics()
+    n, h, w = images.shape[0], images.shape[1], images.shape[2]
+    bound = config.visible_lower_bound if n > 2 else 2
+
+    gray = jnp.asarray(to_gray(images))
+    images_d = jnp.asarray(images)
+    K = jnp.asarray(calib.K.astype(np.float32))
+    R = jnp.asarray(calib.R.astype(np.float32))
+    t = jnp.asarray(calib.t.astype(np.float32))
+    centers_cam = jnp.asarray(calib.centers.astype(np.float32))
+    occupancy = make_occupancy(n, h, w, config.cell_size)
+
+    with timers.stage("seed"):
+        track_id, ref_obs, other_obs = build_seed_candidates(
+            recon.track_offsets, recon.track_obs
+        )
+        seeds, occupancy = seed_patches(
+            gray, K, R, t, centers_cam,
+            jnp.asarray(track_id), jnp.asarray(ref_obs), jnp.asarray(other_obs),
+            recon.num_tracks, occupancy, config, bound,
+        )
+        seed_valid = np.asarray(seeds["valid"])
+        n_seeds = int(seed_valid.sum())
+        metrics.record("mvs_num_seeds", n_seeds)
+
+    all_c = [np.asarray(seeds["c"])[seed_valid]]
+    all_n = [np.asarray(seeds["n"])[seed_valid]]
+    all_score = [np.asarray(seeds["score"])[seed_valid]]
+    seed_colors = np.asarray(
+        _sample_colors(images_d, seeds["ref"], seeds["proj"])
+    )[seed_valid]
+    all_color = [seed_colors]
+
+    total = n_seeds
+    frontier = seeds
+    rounds = 0
+    with timers.stage("expand"):
+        while rounds < config.max_rounds and total < config.max_patches:
+            accepted, occupancy, n_cand = expansion_round(
+                gray, K, R, t, centers_cam, occupancy,
+                frontier["c"], frontier["n"], frontier["vis"],
+                frontier["proj"], frontier["valid"],
+                config, bound, config.round_capacity, scale,
+            )
+            acc_valid = np.asarray(accepted["valid"])
+            n_acc = int(acc_valid.sum())
+            rounds += 1
+            if n_acc == 0:
+                break
+            all_c.append(np.asarray(accepted["c"])[acc_valid])
+            all_n.append(np.asarray(accepted["n"])[acc_valid])
+            all_score.append(np.asarray(accepted["score"])[acc_valid])
+            all_color.append(
+                np.asarray(
+                    _sample_colors(images_d, accepted["ref"], accepted["proj"])
+                )[acc_valid]
+            )
+            total += n_acc
+            frontier = accepted
+    metrics.record("mvs_rounds", rounds)
+    metrics.record("mvs_num_points", total)
+
+    return DenseReconstruction(
+        points=np.concatenate(all_c).astype(np.float32),
+        colors=np.concatenate(all_color).astype(np.uint8),
+        normals=np.concatenate(all_n).astype(np.float32),
+        scores=np.concatenate(all_score).astype(np.float32),
+        num_seeds=n_seeds,
+        metrics=metrics,
+        timers=timers,
+    )

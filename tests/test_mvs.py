@@ -1,0 +1,186 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sfm_tpu.config import MvsConfig, PipelineConfig, FeatureConfig
+from sfm_tpu.mvs.cells import (
+    make_occupancy, which_cell, cell_center, is_vacant, fill_cells,
+    grid_shape,
+)
+from sfm_tpu.mvs.photoconsistency import photo_consistency
+from sfm_tpu.mvs import dense_reconstruction
+
+
+class TestCells:
+    def test_grid_shape_matches_reference_formula(self):
+        # ceil((W-1)/s), ceil((H-1)/s)  (MVS2.py:88)
+        assert grid_shape(480, 640, 2) == (320, 240)
+
+    def test_which_cell_and_center_roundtrip(self):
+        pix = jnp.asarray([[5.0, 7.0], [0.0, 0.0], [639.0, 479.0]])
+        cell = which_cell(pix, 2)
+        assert cell.tolist() == [[2, 3], [0, 0], [319, 239]]
+        c = cell_center(cell, 2)
+        assert np.allclose(c[0], [5.0, 7.0])
+
+    def test_vacancy_and_fill(self):
+        occ = make_occupancy(2, 480, 640, 2)
+        img = jnp.asarray([0, 1], jnp.int32)
+        cells = jnp.asarray([[3, 4], [10, 20]], jnp.int32)
+        mask = jnp.asarray([True, True])
+        occ = fill_cells(occ, img, cells, mask)
+        assert bool(occ[0, 3, 4]) and bool(occ[1, 10, 20])
+        v = is_vacant(occ, jnp.asarray([0, 0, 0]), jnp.asarray(
+            [[3, 4], [3, 5], [-1, 0]], jnp.int32))
+        assert v.tolist() == [False, True, False]  # filled / free / OOB
+
+    def test_masked_fill_is_noop(self):
+        occ = make_occupancy(1, 64, 64, 2)
+        occ2 = fill_cells(
+            occ, jnp.asarray([0]), jnp.asarray([[5, 5]], jnp.int32),
+            jnp.asarray([False]),
+        )
+        assert not bool(occ2.any())
+
+
+class TestPhotoConsistency:
+    def _setup(self, rng, n_views=4):
+        """Textured plane at z=2 seen by a camera ring -> perfect NCC."""
+        import scipy.spatial.transform as st
+
+        h = w = 96
+        # Smooth random texture (bilinear-samplable).
+        tex = rng.normal(size=(h, w)).astype(np.float32)
+        from scipy.ndimage import gaussian_filter
+
+        tex = gaussian_filter(tex, 2.0) * 40 + 100
+        K = np.array([[120.0, 0, w / 2], [0, 120.0, h / 2], [0, 0, 1]])
+        Ks, Rs, ts, grays = [], [], [], []
+        for v in range(n_views):
+            ang = (v - (n_views - 1) / 2) * 0.06
+            Rm = st.Rotation.from_euler("y", ang).as_matrix()
+            C = np.array([2.0 * np.sin(ang), 0, 2.0 - 2.0 * np.cos(ang)])
+            tv = -Rm @ C
+            Ks.append(K)
+            Rs.append(Rm)
+            ts.append(tv)
+        # Render each view by projecting the z=2 plane texture: for a
+        # fronto-parallel plane and tiny angles, warp via homography.
+        # Simpler: generate images by sampling the plane through each camera.
+        ys, xs = np.mgrid[0:h, 0:w]
+        for v in range(n_views):
+            Kv, Rv, tv = Ks[v], Rs[v], ts[v]
+            # Ray through each pixel -> intersect z=2 plane -> texture coords.
+            d_cam = np.stack(
+                [(xs - Kv[0, 2]) / Kv[0, 0], (ys - Kv[1, 2]) / Kv[1, 1],
+                 np.ones_like(xs, np.float64)], -1)
+            d_w = d_cam @ Rv  # R^T d
+            C = -Rv.T @ tv
+            s = (2.0 - C[2]) / d_w[..., 2]
+            pw = C + s[..., None] * d_w
+            # Texture lookup: world (x, y) in [-0.8, 0.8] -> pixel coords.
+            tx = np.clip((pw[..., 0] + 0.8) / 1.6 * (w - 1), 0, w - 1)
+            ty = np.clip((pw[..., 1] + 0.6) / 1.2 * (h - 1), 0, h - 1)
+            g = tex[ty.astype(int), tx.astype(int)]
+            grays.append(g.astype(np.float32))
+        return (
+            np.stack(grays), np.stack(Ks), np.stack(Rs), np.stack(ts),
+        )
+
+    def test_on_plane_points_visible(self, rng):
+        gray, K, R, t = self._setup(rng)
+        pts = np.stack(
+            [rng.uniform(-0.3, 0.3, 32), rng.uniform(-0.2, 0.2, 32),
+             np.full(32, 2.0)], -1)
+        vis, proj, score, cnt = photo_consistency(
+            jnp.asarray(gray), jnp.asarray(K.astype(np.float32)),
+            jnp.asarray(R.astype(np.float32)), jnp.asarray(t.astype(np.float32)),
+            jnp.asarray(pts.astype(np.float32)),
+            jnp.zeros(32, jnp.int32), 0.7, 5,
+        )
+        cnt = np.asarray(cnt)
+        assert (cnt >= 2).mean() > 0.8, cnt
+        # Reference view never in its own visible set.
+        assert not np.asarray(vis)[:, 0].any()
+
+    def test_off_plane_points_fail(self, rng):
+        gray, K, R, t = self._setup(rng)
+        pts = np.stack(
+            [rng.uniform(-0.3, 0.3, 32), rng.uniform(-0.2, 0.2, 32),
+             np.full(32, 1.45)], -1)  # wrong depth -> parallax mismatch
+        vis, proj, score, cnt = photo_consistency(
+            jnp.asarray(gray), jnp.asarray(K.astype(np.float32)),
+            jnp.asarray(R.astype(np.float32)), jnp.asarray(t.astype(np.float32)),
+            jnp.asarray(pts.astype(np.float32)),
+            jnp.zeros(32, jnp.int32), 0.7, 5,
+        )
+        on_cnt = np.asarray(cnt)
+        assert (on_cnt >= 3).mean() < 0.4
+
+    def test_out_of_bounds_invisible(self, rng):
+        gray, K, R, t = self._setup(rng)
+        pts = np.asarray([[50.0, 50.0, 2.0]], np.float32)  # projects far out
+        vis, _, _, cnt = photo_consistency(
+            jnp.asarray(gray), jnp.asarray(K.astype(np.float32)),
+            jnp.asarray(R.astype(np.float32)), jnp.asarray(t.astype(np.float32)),
+            jnp.asarray(pts), jnp.zeros(1, jnp.int32), 0.4, 5,
+        )
+        assert int(cnt[0]) == 0
+
+
+class TestDensePipeline:
+    @pytest.fixture(scope="class")
+    def dense(self, dino_images_cls, dino_calib_cls):
+        from sfm_tpu.sfm import structure_from_motion
+        from sfm_tpu.ba.run import bundle_adjust
+        from sfm_tpu.config import BaConfig
+
+        imgs, _ = dino_images_cls
+        cfg = PipelineConfig(
+            features=FeatureConfig(max_corners=2048, max_matches=1024),
+        )
+        cal = dino_calib_cls.subset(range(8))
+        recon = structure_from_motion(imgs, cal, cfg)
+        recon, _ = bundle_adjust(recon, BaConfig(dtype="float64"))
+        mvs_cfg = MvsConfig(round_capacity=4096, max_rounds=6)
+        dense = dense_reconstruction(
+            imgs, cal, recon, mvs_cfg, scale=10.0
+        )
+        return recon, dense
+
+    def test_seeds_exist(self, dense):
+        recon, d = dense
+        assert d.num_seeds > 50
+        assert d.num_seeds <= recon.num_tracks
+
+    def test_expansion_grows_cloud(self, dense):
+        _, d = dense
+        assert d.num_points > 2 * d.num_seeds
+
+    def test_outputs_consistent(self, dense):
+        _, d = dense
+        assert d.points.shape == (d.num_points, 3)
+        assert d.colors.shape == (d.num_points, 3)
+        assert d.colors.dtype == np.uint8
+        assert np.all(np.isfinite(d.points))
+        n = np.linalg.norm(d.normals, axis=-1)
+        assert np.allclose(n, 1.0, atol=1e-3)
+
+    def test_points_near_sparse_cloud(self, dense):
+        recon, d = dense
+        lo = recon.world.min(0) - 0.05
+        hi = recon.world.max(0) + 0.05
+        frac_in = (
+            np.all((d.points >= lo) & (d.points <= hi), axis=1).mean()
+        )
+        assert frac_in > 0.9
+
+    def test_export_ply(self, dense, tmp_path):
+        from sfm_tpu.io.ply import read_ply
+
+        _, d = dense
+        p = str(tmp_path / "dense.ply")
+        d.export_ply(p)
+        pts, cols = read_ply(p)
+        assert pts.shape[0] == d.num_points
+        assert cols is not None
