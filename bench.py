@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Benchmark harness: full dinoRing pipeline (SfM + BA + dense MVS).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+Baseline (vs_baseline denominator): the UNMODIFIED reference running on this
+container's CPU, measured by /tmp-style harness (see BASELINE.md "Measured"
+table for the recorded numbers and method): SfM+BA wall time plus its MVS
+BFS extrapolated to the 100k-iteration cap it ships with (MVS2.py:321) from
+observed iterations/s.  Our run uses an equivalent work budget
+(max_patches=100k) on the same dataset.
+
+Usage: python bench.py [--frames N] [--skip-mvs] [--warm N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# Reference-CPU baseline, measured on this container (see BASELINE.md):
+#   SfM+BA seconds + 100k-iteration MVS extrapolation, dinoRing 48 frames.
+BASELINE_SFM_BA_S = None   # filled from BASELINE.md measurement
+BASELINE_MVS_100K_S = None
+_BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+if os.path.exists(_BASELINE_FILE):
+    with open(_BASELINE_FILE) as f:
+        _b = json.load(f)
+    BASELINE_SFM_BA_S = _b.get("ref_sfm_ba_s")
+    BASELINE_MVS_100K_S = _b.get("ref_mvs_100k_s")
+
+
+def run_pipeline(images, calib, config, mvs: bool, scale: float):
+    from sfm_tpu.sfm import structure_from_motion
+    from sfm_tpu.ba.run import bundle_adjust
+
+    t0 = time.perf_counter()
+    recon = structure_from_motion(images, calib, config)
+    recon, info = bundle_adjust(recon, config.ba)
+    t_sfm_ba = time.perf_counter() - t0
+    t_mvs = 0.0
+    dense_points = 0
+    if mvs:
+        from sfm_tpu.mvs import dense_reconstruction
+
+        t1 = time.perf_counter()
+        dense = dense_reconstruction(images, calib, recon, config.mvs, scale)
+        t_mvs = time.perf_counter() - t1
+        dense_points = dense.num_points
+    return recon, t_sfm_ba, t_mvs, dense_points
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--skip-mvs", action="store_true")
+    ap.add_argument("--warm", type=int, default=1,
+                    help="timed runs after the cold (compile) run")
+    ap.add_argument("--data", default="/root/reference/dinoRing")
+    args = ap.parse_args()
+
+    import jax
+
+    from sfm_tpu.config import PipelineConfig, BaConfig, MvsConfig
+    from sfm_tpu.io import read_pars, load_images
+
+    backend = jax.default_backend()
+    calib = read_pars(os.path.join(args.data, "dinoR_par.txt"))
+    images, _ = load_images(args.data, "png", max_images=args.frames)
+    calib = calib.subset(range(images.shape[0]))
+    n = images.shape[0]
+    scale = 10.0  # reference run.sh invocation
+
+    config = PipelineConfig(
+        ba=BaConfig(dtype="float32" if backend == "tpu" else "float64"),
+        mvs=MvsConfig(),
+    )
+
+    # Cold run (includes compilation).
+    t0 = time.perf_counter()
+    recon, t_sfm_ba, t_mvs, dense_points = run_pipeline(
+        images, calib, config, not args.skip_mvs, scale
+    )
+    cold_s = time.perf_counter() - t0
+
+    # Warm runs (steady state).
+    warm_total = []
+    for _ in range(max(args.warm, 0)):
+        t0 = time.perf_counter()
+        recon, t_sfm_ba, t_mvs, dense_points = run_pipeline(
+            images, calib, config, not args.skip_mvs, scale
+        )
+        warm_total.append(time.perf_counter() - t0)
+    wall = min(warm_total) if warm_total else cold_s
+
+    frames_per_s = n / wall
+    vs = None
+    if BASELINE_SFM_BA_S:
+        base_wall = BASELINE_SFM_BA_S + (
+            0.0 if args.skip_mvs else (BASELINE_MVS_100K_S or 0.0)
+        )
+        base_fps = n / base_wall if base_wall else None
+        vs = frames_per_s / base_fps if base_fps else None
+
+    result = {
+        "metric": (
+            f"dinoRing {n}-frame SfM+BA"
+            + ("" if args.skip_mvs else "+MVS(100k budget)")
+            + f" on {backend}"
+        ),
+        "value": round(frames_per_s, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "wall_s": round(wall, 2),
+        "cold_s": round(cold_s, 2),
+        "sfm_ba_s": round(t_sfm_ba, 2),
+        "mvs_s": round(t_mvs, 2),
+        "tracks": recon.num_tracks,
+        "rms_reproj_px": round(recon.rms_reprojection_error(), 4),
+        "dense_points": dense_points,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,4 +23,13 @@ Layering (bottom-up), mirroring the capability map in SURVEY.md:
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU MXU f32 matmuls default to bfloat16 passes; the geometry/solver math
+# (projection matrices ~3e3 entries, DLT/eigh, Gauss-Newton) needs true f32
+# or pixel-level accuracy collapses (~1 px triangulation error vs the 0.3 px
+# acceptance gate).  Bandwidth-bound throughput kernels that tolerate bf16
+# opt back in explicitly (descriptor correlation, ops/ncc.py).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from sfm_tpu.config import PipelineConfig  # noqa: F401

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.ba.model import jacobian_blocks, total_cost
+from sfm_tpu.geometry.linalg3 import inv3
 from sfm_tpu.ba.problem import BAProblem
 
 
@@ -182,7 +183,7 @@ def _lm_impl(
             problem, state.cams, state.points, axis_name=axis_name
         )
         V_lam = _damp_diag(blocks.V, state.lam)
-        Vinv = jnp.linalg.inv(V_lam)
+        Vinv = inv3(V_lam)
         n_pts = blocks.V.shape[0]
 
         if optimize_cameras:

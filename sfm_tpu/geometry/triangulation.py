@@ -12,7 +12,10 @@ statically-shaped batched formulations:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+from sfm_tpu.geometry.linalg3 import solve3
 
 _EPS = 1e-12
 
@@ -54,6 +57,46 @@ def triangulate_dlt(P, pixels, mask=None):
     w = X[..., 3]
     denom = jnp.where(jnp.abs(w) < _EPS, jnp.where(w < 0, -_EPS, _EPS), w)
     return X[..., :3] / denom[..., None], w
+
+
+def refine_triangulation(P, pixels, X, mask=None, iters: int = 2):
+    """Gauss-Newton refinement of triangulated points on reprojection error.
+
+    The f32 eigh-based DLT carries ~1 px reprojection error on TPU (the
+    normal equations square the conditioning); two GN steps on the actual
+    reprojection residual restore sub-0.1 px accuracy in f32 — needed for
+    the reference's 0.3 px acceptance gate (SFM.py:78) to behave like its
+    f64 CPU counterpart.
+
+    Args: P (..., V, 3, 4), pixels (..., V, 2), X (..., 3) initial points.
+    Returns refined X.
+    """
+
+    def step(X, _):
+        Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
+        h = jnp.einsum("...vij,...j->...vi", P, Xh)            # (..., V, 3)
+        z = jnp.where(jnp.abs(h[..., 2:3]) < _EPS, _EPS, h[..., 2:3])
+        uv = h[..., :2] / z
+        r = uv - pixels                                         # (..., V, 2)
+        # d(uv)/dX = (P[:2,:3] - uv * P[2,:3]) / z
+        J = (
+            P[..., :2, :3]
+            - uv[..., :, None] * P[..., 2:3, :3]
+        ) / z[..., None]                                        # (..., V, 2, 3)
+        if mask is not None:
+            m = mask[..., None].astype(r.dtype)
+            r = r * m
+            J = J * m[..., None]
+        Jf = J.reshape(*J.shape[:-3], -1, 3)
+        rf = r.reshape(*r.shape[:-2], -1)
+        JtJ = jnp.einsum("...ki,...kj->...ij", Jf, Jf)
+        Jtr = jnp.einsum("...ki,...k->...i", Jf, rf)
+        JtJ = JtJ + 1e-6 * jnp.eye(3, dtype=JtJ.dtype)
+        dX = solve3(JtJ, Jtr)
+        return X - dX, None
+
+    X, _ = jax.lax.scan(step, X, None, length=iters)
+    return X
 
 
 def dehomogenize(X):

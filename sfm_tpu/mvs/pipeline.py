@@ -71,8 +71,8 @@ def dense_reconstruction(
     n, h, w = images.shape[0], images.shape[1], images.shape[2]
     bound = config.visible_lower_bound if n > 2 else 2
 
-    gray = jnp.asarray(to_gray(images))
     images_d = jnp.asarray(images)
+    gray = to_gray(images_d)
     K = jnp.asarray(calib.K.astype(np.float32))
     R = jnp.asarray(calib.R.astype(np.float32))
     t = jnp.asarray(calib.t.astype(np.float32))

@@ -22,11 +22,13 @@ import numpy as np
 
 from sfm_tpu.config import MvsConfig
 from sfm_tpu.geometry.projection import projection_matrix
-from sfm_tpu.geometry.triangulation import triangulate_dlt
+from sfm_tpu.geometry.triangulation import triangulate_dlt, refine_triangulation
 from sfm_tpu.mvs.cells import fill_cells, which_cell
 from sfm_tpu.mvs.photoconsistency import photo_consistency
 
 _BIG = jnp.float32(1e30)
+
+import functools
 
 
 def build_seed_candidates(track_offsets, track_obs):
@@ -48,6 +50,10 @@ def build_seed_candidates(track_offsets, track_obs):
     return track_id.astype(np.int32), ref_per_cand, other_rows
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_tracks", "config", "visible_lower_bound"),
+)
 def seed_patches(
     gray,
     K, R, t, centers_cam,
@@ -75,6 +81,7 @@ def seed_patches(
     P_pair = jnp.stack([P[ref_img], P[oth_img]], axis=1)   # (C, 2, 3, 4)
     pix_pair = jnp.stack([pix_ref, pix_oth], axis=1)       # (C, 2, 2)
     c, w = triangulate_dlt(P_pair, pix_pair)
+    c = refine_triangulation(P_pair, pix_pair, c)
     nondeg = jnp.abs(w) > 1e-12
 
     O = centers_cam[ref_img]                                # (C, 3)

@@ -30,13 +30,15 @@ from sfm_tpu.utils.platform import use_pallas as _use_pallas
 
 
 def _shift(img, dy, dx):
-    """Shift a 2-D (or batched ...HW) image by (dy, dx), zero-filled."""
+    """Shift a 2-D (or batched ...HW) image by (dy, dx), zero-filled.
+
+    Static pad+slice only — keeps the op legal inside Pallas TPU kernels
+    (dynamic_slice does not lower there).
+    """
     pad = [(0, 0)] * (img.ndim - 2) + [(1, 1), (1, 1)]
     p = jnp.pad(img, pad)
     h, w = img.shape[-2], img.shape[-1]
-    return jax.lax.dynamic_slice_in_dim(
-        jax.lax.dynamic_slice_in_dim(p, 1 + dy, h, axis=-2), 1 + dx, w, axis=-1
-    )
+    return p[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
 
 
 def _sobel(gray):
@@ -74,8 +76,74 @@ def _harris_math(gray, k):
     return det - k * trace * trace
 
 
-def _harris_kernel(gray_ref, out_ref, *, k):
-    out_ref[:] = _harris_math(gray_ref[:], k)
+def _harris_kernel(hbm_ref, out_ref, scratch, sem, *, k, tile_h):
+    """Fused Harris response over one row tile, images staying in HBM.
+
+    The caller zero-pads 4 rows top+bottom, so each (tile_h + 8)-row slab is
+    DMA'd HBM->VMEM at a static in-slab offset (8-row-aligned slab for TPU
+    sublane tiling) and the vertical stencil halo is exact.  Neighbour access is pltpu.roll (lane/sublane rotate — Mosaic
+    cannot lower pad/concat/dynamic_slice in-kernel); horizontal wrap-around
+    contaminates only the 2 border columns, which are zeroed (border corners
+    are rejected downstream via ``detect_corners(border=...)`` anyway).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        hbm_ref.at[i, pl.ds(j * tile_h, tile_h + 8), :],
+        scratch,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+    g = scratch[:]  # (tile_h + 8, W)
+
+    def sh(x, dy, dx):
+        h, w = x.shape
+        if dy:
+            x = pltpu.roll(x, (-dy) % h, 0)
+        if dx:
+            x = pltpu.roll(x, (-dx) % w, 1)
+        return x
+
+    def sobel(img):
+        tl = sh(img, -1, -1)
+        tc = sh(img, -1, 0)
+        tr = sh(img, -1, 1)
+        ml = sh(img, 0, -1)
+        mr = sh(img, 0, 1)
+        bl = sh(img, 1, -1)
+        bc = sh(img, 1, 0)
+        br = sh(img, 1, 1)
+        ix = (tr + 2.0 * mr + br) - (tl + 2.0 * ml + bl)
+        iy = (bl + 2.0 * bc + br) - (tl + 2.0 * tc + tr)
+        return ix, iy
+
+    def box3(img):
+        return (
+            sh(img, -1, -1) + sh(img, -1, 0) + sh(img, -1, 1)
+            + sh(img, 0, -1) + img + sh(img, 0, 1)
+            + sh(img, 1, -1) + sh(img, 1, 0) + sh(img, 1, 1)
+        )
+
+    ix, iy = sobel(g)
+    sxx = box3(ix * ix)
+    syy = box3(iy * iy)
+    sxy = box3(ix * iy)
+    det = sxx * syy - sxy * sxy
+    trace = sxx + syy
+    resp = (det - k * trace * trace)[4 : 4 + tile_h]
+    w = g.shape[1]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w), 1)
+    col_ok = (xs >= 2) & (xs < w - 2)
+    out_ref[0] = jnp.where(col_ok, resp, 0.0)
+
+
+def _pick_tile(h: int, max_tile: int = 160) -> int:
+    """Largest row-tile that divides h, is a multiple of 8, and fits VMEM."""
+    for t in range(min(max_tile, h), 7, -1):
+        if h % t == 0 and t % 8 == 0:
+            return t
+    return 0
 
 
 @functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
@@ -83,19 +151,24 @@ def harris_response(gray, k: float = 0.04, use_pallas=None):
     """Harris corner response for a stack of grayscale images (N, H, W)."""
     gray = gray.astype(jnp.float32)
     n, h, w = gray.shape
-    if _use_pallas(use_pallas):
-        kern = functools.partial(_harris_kernel, k=k)
+    tile_h = _pick_tile(h)
+    if _use_pallas(use_pallas) and tile_h:
+        padded = jnp.pad(gray, ((0, 0), (4, 4), (0, 0)))
+        kern = functools.partial(_harris_kernel, k=k, tile_h=tile_h)
         return pl.pallas_call(
             kern,
-            grid=(n,),
-            in_specs=[
-                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-            ],
+            grid=(n, h // tile_h),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(
-                (1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, tile_h, w), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
-        )(gray)
+            scratch_shapes=[
+                pltpu.VMEM((tile_h + 8, w), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(padded)
     return _harris_math(gray, k)
 
 

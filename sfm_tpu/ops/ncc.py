@@ -21,9 +21,19 @@ import jax.numpy as jnp
 
 @jax.jit
 def ncc_scores(desc1, desc2):
-    """(…, K1, D) x (…, K2, D) -> (…, K1, K2) correlation matrix on the MXU."""
+    """(…, K1, D) x (…, K2, D) -> (…, K1, K2) correlation matrix on the MXU.
+
+    Runs at DEFAULT (bf16-pass) precision deliberately: correlation ranking
+    only needs ~2 decimal digits and this is the matcher's FLOPs hot spot —
+    the library's global 'highest' default (see sfm_tpu/__init__.py) is for
+    the geometry path, not here.
+    """
     return jnp.einsum(
-        "...id,...jd->...ij", desc1, desc2, preferred_element_type=jnp.float32
+        "...id,...jd->...ij",
+        desc1,
+        desc2,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 

@@ -27,7 +27,7 @@ from sfm_tpu.config import PipelineConfig
 from sfm_tpu.features.frontend import detect_and_describe, FeatureSet
 from sfm_tpu.features.matching import match_descriptors
 from sfm_tpu.geometry.projection import projection_matrix, project_pinhole
-from sfm_tpu.geometry.triangulation import triangulate_dlt
+from sfm_tpu.geometry.triangulation import triangulate_dlt, refine_triangulation
 from sfm_tpu.io.calib import Calibration
 from sfm_tpu.io.images import to_gray
 from sfm_tpu.sfm.ransac import ransac_fundamental
@@ -106,8 +106,23 @@ class SparseReconstruction:
         export_ply(path, self.world.astype(np.float32))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _make_pair_program(config: PipelineConfig, num_matches: int):
+    """Compiled all-pairs program, cached per config.
+
+    The step closure and its ``lax.map`` wrapper are built ONCE per config:
+    a fresh closure per pipeline call would miss jit's cache and re-trace
+    the whole pair program on every invocation (seconds per run on TPU).
+    """
+    step = _make_pair_step(config, num_matches)
+    return jax.jit(lambda args: jax.lax.map(step, args))
+
+
 def _make_pair_step(config: PipelineConfig, num_matches: int):
-    """Build the jitted per-pair device step (used under lax.map)."""
+    """Build the per-pair device step (used under lax.map)."""
 
     fc = config.features
     rc = config.ransac
@@ -136,6 +151,7 @@ def _make_pair_step(config: PipelineConfig, num_matches: int):
         P_b2 = jnp.broadcast_to(P, (num_matches, 2, 3, 4))
         pix = jnp.stack([p1, p2], axis=1)  # (M, 2, 2)
         X, w = triangulate_dlt(P_b2, pix)
+        X = refine_triangulation(P_b2, pix, X)
         nondegenerate = jnp.abs(w) > 1e-9
         # Reprojection gate in BOTH views (reference SFM.py:76-79).
         proj_a = project_pinhole(X, K_a, R_a, t_a)
@@ -179,7 +195,9 @@ def structure_from_motion(
     ib = np.asarray([p[1] for p in pairs])
 
     with timers.stage("features"):
-        gray = jnp.asarray(to_gray(images))
+        # Ship uint8 to the device and convert there: 4x less H2D traffic
+        # (material over a remote-TPU tunnel) and the conversion fuses.
+        gray = to_gray(jnp.asarray(images))
         fs: FeatureSet = detect_and_describe(
             gray, config.features, use_pallas=config.runtime.use_pallas
         )
@@ -193,7 +211,7 @@ def structure_from_motion(
         keys = jax.random.split(
             jax.random.PRNGKey(config.runtime.seed), len(pairs)
         )
-        step = _make_pair_step(config, config.features.max_matches)
+        run_pairs = _make_pair_program(config, config.features.max_matches)
         args = (
             fs.descriptors[ia], fs.valid[ia], fs.corners[ia],
             fs.descriptors[ib], fs.valid[ib], fs.corners[ib],
@@ -201,9 +219,7 @@ def structure_from_motion(
             K[ia], R[ia], t[ia], K[ib], R[ib], t[ib],
             keys,
         )
-        (p1, p2, X, ok, n_match, n_inl, n_gate, err_sum) = jax.lax.map(
-            step, args
-        )
+        (p1, p2, X, ok, n_match, n_inl, n_gate, err_sum) = run_pairs(args)
         jax.block_until_ready(ok)
 
     with timers.stage("tracks"):

@@ -25,29 +25,23 @@ class TestHarris:
         assert abs(resp[8, 8]) < 1e-3 * resp[16, 16]  # flat region
 
     def test_pallas_interpret_matches_xla(self):
-        # Run the pallas kernel in interpreter mode on CPU and compare.
-        import jax
-        from jax.experimental import pallas as pl
+        # Run the tiled pallas kernel in interpreter mode on CPU and compare
+        # (two images, 32-row height -> multiple row tiles exercised).
         from jax.experimental.pallas import tpu as pltpu
-        import functools
-        from sfm_tpu.ops.harris import _harris_kernel
 
-        img = checkerboard(32, 128).astype(np.float32)[None]
+        img = np.stack(
+            [checkerboard(32, 128), checkerboard(32, 128, sq=8)]
+        ).astype(np.float32)
         expect = harris_response(jnp.asarray(img), use_pallas=False)
-        kern = functools.partial(_harris_kernel, k=0.04)
-        got = pl.pallas_call(
-            kern,
-            grid=(1,),
-            in_specs=[
-                pl.BlockSpec((1, 32, 128), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-            ],
-            out_specs=pl.BlockSpec((1, 32, 128), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, 32, 128), jnp.float32),
-            interpret=True,
-        )(jnp.asarray(img, dtype=jnp.float32))
-        assert np.allclose(got, expect, atol=1e-3)
+        with pltpu.force_tpu_interpret_mode():
+            got = harris_response(jnp.asarray(img), use_pallas=True)
+        # The pallas kernel zeroes the 2 border columns (roll wrap-around);
+        # compare interiors.
+        assert np.allclose(
+            np.asarray(got)[:, 2:-2, 2:-2],
+            np.asarray(expect)[:, 2:-2, 2:-2],
+            atol=1e-3,
+        )
 
     def test_detect_corners_on_checkerboard(self):
         img = checkerboard()
