@@ -151,6 +151,21 @@ def main(argv=None) -> int:
         recon.export_ply(os.path.join(args.out_dir, "sparse_points.ply"))
         summary["sparse_tracks"] = recon.num_tracks
         summary["sparse_mean_reproj_px"] = recon.mean_reprojection_error()
+        if args.debug and recon.debug_pairs is not None:
+            from sfm_tpu.utils.viz import draw_epipolar_debug
+            from sfm_tpu.io.images import to_gray as _tg
+
+            dp = recon.debug_pairs
+            for pi in range(min(3, len(dp["pairs"]))):
+                a, b = dp["pairs"][pi]
+                sel = dp["inlier"][pi]
+                draw_epipolar_debug(
+                    images[a], images[b],
+                    dp["p1"][pi][sel], dp["p2"][pi][sel], dp["F"][pi],
+                    path=os.path.join(
+                        args.out_dir, f"debug_epipolar_{a}_{b}.png"
+                    ),
+                )
         if args.plot:
             from sfm_tpu.utils.viz import scatter3d
 

@@ -60,6 +60,7 @@ class SparseReconstruction:
     track_obs: np.ndarray      # (O, 3) int32 rows (image, x, y)
     metrics: Metrics = field(default_factory=Metrics)
     timers: Optional[StageTimer] = None
+    debug_pairs: Optional[dict] = None
 
     @property
     def num_tracks(self) -> int:
@@ -165,7 +166,7 @@ def _make_pair_step(config: PipelineConfig, num_matches: int):
         err_sum = jnp.sum(jnp.where(ok, 0.5 * (err_a + err_b), 0.0))
         return (
             p1, p2, X, ok,
-            m.count, n_inl, jnp.sum(ok.astype(jnp.int32)), err_sum,
+            m.count, n_inl, jnp.sum(ok.astype(jnp.int32)), err_sum, F,
         )
 
     return step
@@ -219,7 +220,7 @@ def structure_from_motion(
             K[ia], R[ia], t[ia], K[ib], R[ib], t[ib],
             keys,
         )
-        (p1, p2, X, ok, n_match, n_inl, n_gate, err_sum) = run_pairs(args)
+        (p1, p2, X, ok, n_match, n_inl, n_gate, err_sum, F) = run_pairs(args)
         jax.block_until_ready(ok)
 
     with timers.stage("tracks"):
@@ -255,6 +256,18 @@ def structure_from_motion(
     metrics.record("num_observations", obs.shape[0])
     metrics.record("track_store_backend", store.backend)
 
+    debug_pairs = None
+    if config.debug:
+        # Per-pair epipolar debug payload (reference DebugShow analogue,
+        # utils.py:114-158): correspondences + inlier mask + F per pair.
+        debug_pairs = {
+            "pairs": pairs,
+            "p1": np.asarray(p1),
+            "p2": np.asarray(p2),
+            "inlier": ok_h,
+            "F": np.asarray(F),
+        }
+
     return SparseReconstruction(
         calib=calib,
         world=world,
@@ -262,4 +275,5 @@ def structure_from_motion(
         track_obs=obs,
         metrics=metrics,
         timers=timers,
+        debug_pairs=debug_pairs,
     )
