@@ -95,6 +95,8 @@ def dense_reconstruction(
     all_c = [np.asarray(seeds["c"])[seed_valid]]
     all_n = [np.asarray(seeds["n"])[seed_valid]]
     all_score = [np.asarray(seeds["score"])[seed_valid]]
+    all_vis = [np.asarray(seeds["vis"])[seed_valid]]
+    all_proj = [np.asarray(seeds["proj"])[seed_valid]]
     seed_colors = np.asarray(
         _sample_colors(images_d, seeds["ref"], seeds["proj"])
     )[seed_valid]
@@ -119,6 +121,8 @@ def dense_reconstruction(
             all_c.append(np.asarray(accepted["c"])[acc_valid])
             all_n.append(np.asarray(accepted["n"])[acc_valid])
             all_score.append(np.asarray(accepted["score"])[acc_valid])
+            all_vis.append(np.asarray(accepted["vis"])[acc_valid])
+            all_proj.append(np.asarray(accepted["proj"])[acc_valid])
             all_color.append(
                 np.asarray(
                     _sample_colors(images_d, accepted["ref"], accepted["proj"])
@@ -129,11 +133,33 @@ def dense_reconstruction(
     metrics.record("mvs_rounds", rounds)
     metrics.record("mvs_num_points", total)
 
+    points = np.concatenate(all_c).astype(np.float32)
+    colors = np.concatenate(all_color).astype(np.uint8)
+    normals = np.concatenate(all_n).astype(np.float32)
+    scores = np.concatenate(all_score).astype(np.float32)
+
+    if config.enable_outlier_filter:
+        from sfm_tpu.mvs.cells import grid_shape
+        from sfm_tpu.mvs.filter import filter_outliers
+
+        with timers.stage("filter"):
+            gw, gh = grid_shape(h, w, config.cell_size)
+            keep = filter_outliers(
+                points, normals, scores,
+                np.concatenate(all_vis), np.concatenate(all_proj),
+                config.cell_size, gw, gh,
+            )
+        metrics.record("mvs_filtered_out", int((~keep).sum()))
+        points, colors = points[keep], colors[keep]
+        normals, scores = normals[keep], scores[keep]
+        n_seeds = int(keep[:n_seeds].sum())
+        metrics.record("mvs_num_points_filtered", points.shape[0])
+
     return DenseReconstruction(
-        points=np.concatenate(all_c).astype(np.float32),
-        colors=np.concatenate(all_color).astype(np.uint8),
-        normals=np.concatenate(all_n).astype(np.float32),
-        scores=np.concatenate(all_score).astype(np.float32),
+        points=points,
+        colors=colors,
+        normals=normals,
+        scores=scores,
         num_seeds=n_seeds,
         metrics=metrics,
         timers=timers,

@@ -41,6 +41,13 @@ def ncc_scores(desc1, desc2):
 def bilinear_sample_patches(gray, centers, wid: int = 5):
     """Sample (2*wid+1)^2 patches at fractional centers with bilinear interp.
 
+    Gather strategy (the MVS hot path): ONE (side+1)x(side+1) block
+    ``dynamic_slice`` per candidate — XLA lowers the vmap to a slice-gather,
+    which TPUs execute orders of magnitude faster than the naive
+    4-element-gathers-per-pixel formulation — then all bilinear taps are
+    static shifts of the block with per-candidate scalar weights (the
+    fractional offset is constant across a patch).
+
     Args:
       gray: (H, W) single grayscale image.
       centers: (M, 2) float (x, y) patch centers.
@@ -52,27 +59,33 @@ def bilinear_sample_patches(gray, centers, wid: int = 5):
         lies inside the image.
     """
     h, w = gray.shape
+    side = 2 * wid + 1
+    win = side + 1
     x = centers[..., 0]
     y = centers[..., 1]
     inb = (
         (x >= wid + 1) & (x <= w - wid - 2) & (y >= wid + 1) & (y <= h - wid - 2)
     )
-    d = jnp.arange(-wid, wid + 1, dtype=centers.dtype)
-    px = x[:, None, None] + d[None, None, :]
-    py = y[:, None, None] + d[None, :, None]
-    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, w - 2)
-    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 2)
-    fx = jnp.clip(px - x0, 0.0, 1.0)
-    fy = jnp.clip(py - y0, 0.0, 1.0)
-    v00 = gray[y0, x0]
-    v01 = gray[y0, x0 + 1]
-    v10 = gray[y0 + 1, x0]
-    v11 = gray[y0 + 1, x0 + 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(jnp.float32)[:, None, None]
+    fy = (y - y0).astype(jnp.float32)[:, None, None]
+    base_x = jnp.clip(x0.astype(jnp.int32) - wid, 0, w - win)
+    base_y = jnp.clip(y0.astype(jnp.int32) - wid, 0, h - win)
+
+    def block(by, bx):
+        return jax.lax.dynamic_slice(gray, (by, bx), (win, win))
+
+    window = jax.vmap(block)(base_y, base_x)  # (M, win, win)
+    p00 = window[:, :side, :side]
+    p01 = window[:, :side, 1:]
+    p10 = window[:, 1:, :side]
+    p11 = window[:, 1:, 1:]
     val = (
-        v00 * (1 - fy) * (1 - fx)
-        + v01 * (1 - fy) * fx
-        + v10 * fy * (1 - fx)
-        + v11 * fy * fx
+        p00 * (1 - fy) * (1 - fx)
+        + p01 * (1 - fy) * fx
+        + p10 * fy * (1 - fx)
+        + p11 * fy * fx
     )
     m = val.shape[0]
     return val.reshape(m, -1).astype(jnp.float32), inb

@@ -184,3 +184,66 @@ class TestDensePipeline:
         pts, cols = read_ply(p)
         assert pts.shape[0] == d.num_points
         assert cols is not None
+
+
+class TestOutlierFilter:
+    def test_keeps_consistent_cluster_drops_stray(self):
+        from sfm_tpu.mvs.filter import filter_outliers
+
+        # 5 coplanar, well-supported patches + 1 stray off-plane weak patch,
+        # all hitting the same cell in one image.
+        d = 6
+        points = np.zeros((d, 3), np.float32)
+        points[:5, 0] = np.arange(5) * 0.01
+        points[5] = [0.0, 0.0, 5.0]           # far off the cluster plane
+        normals = np.zeros((d, 3), np.float32)
+        normals[:, 2] = 1.0
+        # Stray support (vis_ct * score = 0.1) must fall below the cell's
+        # mean(1 - score) threshold (reference condition, MVS2.py:147).
+        scores = np.asarray([0.9, 0.9, 0.9, 0.9, 0.95, 0.1], np.float32)
+        vis = np.zeros((d, 4), bool)
+        vis[:, 1] = True                       # everyone hits image 1
+        proj = np.zeros((d, 4, 2), np.float32)
+        proj[:, 1] = [10.0, 10.0]              # same cell
+        keep = filter_outliers(points, normals, scores, vis, proj,
+                               cell_size=2, grid_w=320, grid_h=240)
+        assert keep[:5].all()
+        assert not keep[5]
+
+    def test_all_consistent_kept(self):
+        from sfm_tpu.mvs.filter import filter_outliers
+
+        d = 4
+        points = np.random.default_rng(0).normal(size=(d, 3)).astype(np.float32) * 0.01
+        normals = np.zeros((d, 3), np.float32)
+        normals[:, 2] = 1.0
+        scores = np.full(d, 0.9, np.float32)
+        vis = np.ones((d, 2), bool)
+        proj = np.full((d, 2, 2), 20.0, np.float32)
+        keep = filter_outliers(points, normals, scores, vis, proj,
+                               cell_size=2, grid_w=320, grid_h=240)
+        assert keep.all()
+
+    def test_empty(self):
+        from sfm_tpu.mvs.filter import filter_outliers
+
+        keep = filter_outliers(
+            np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
+            np.zeros(0, np.float32), np.zeros((0, 2), bool),
+            np.zeros((0, 2, 2), np.float32), 2, 320, 240)
+        assert keep.shape == (0,)
+
+    def test_pipeline_flag(self, dino_images_cls, dino_calib_cls):
+        from sfm_tpu.sfm import structure_from_motion
+        from sfm_tpu.config import PipelineConfig, FeatureConfig
+
+        imgs, _ = dino_images_cls
+        cal = dino_calib_cls.subset(range(8))
+        cfg = PipelineConfig(
+            features=FeatureConfig(max_corners=1024, max_matches=512))
+        recon = structure_from_motion(imgs, cal, cfg)
+        mvs_cfg = MvsConfig(round_capacity=2048, max_rounds=2,
+                            enable_outlier_filter=True)
+        d = dense_reconstruction(imgs, cal, recon, mvs_cfg, scale=10.0)
+        assert "mvs_filtered_out" in d.metrics.values
+        assert d.num_points > 0
