@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard BA over this many devices (default: 1)")
     p.add_argument("--plot", action="store_true",
                    help="save 3-D scatter PNGs of the clouds")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of the run here")
     return p
 
 
@@ -121,6 +123,10 @@ def main(argv=None) -> int:
     from sfm_tpu.utils import checkpoint as ckpt
 
     timers = StageTimer()
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
     calib = read_pars(config.par_path)
     images, paths = load_images(
         config.image_path, config.image_type, config.max_images
@@ -214,9 +220,15 @@ def main(argv=None) -> int:
         from sfm_tpu.mvs import dense_reconstruction
         from sfm_tpu.io.ply import export_ply
 
+        mvs_mesh = None
+        if args.mesh_devices and args.mesh_devices > 1:
+            from sfm_tpu.parallel.mesh import data_mesh
+
+            mvs_mesh = data_mesh(num_devices=args.mesh_devices)
         with timers.stage("mvs"):
             dense = dense_reconstruction(
-                images, recon.calib, recon, config.mvs, scale=args.scale
+                images, recon.calib, recon, config.mvs, scale=args.scale,
+                mesh=mvs_mesh,
             )
         print(f"mvs: {dense.num_seeds} seeds -> {dense.num_points} points "
               f"in {dense.metrics.values['mvs_rounds']} rounds")
@@ -234,6 +246,11 @@ def main(argv=None) -> int:
                       title="reconstruct_results",
                       path=os.path.join(args.out_dir, "dense.png"))
 
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile_dir}")
     summary["timers_s"] = {k: round(v, 3) for k, v in timers.times.items()}
     print(json.dumps(summary))
     print("stage timers:")

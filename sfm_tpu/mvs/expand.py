@@ -43,10 +43,33 @@ from sfm_tpu.mvs.photoconsistency import photo_consistency
 _OFFSETS = jnp.asarray([[-1, -1], [-1, 1], [1, -1], [1, 1]], jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "visible_lower_bound", "round_capacity"),
-)
+@functools.lru_cache(maxsize=16)
+def _make_round_program(
+    config: MvsConfig,
+    visible_lower_bound: int,
+    round_capacity: int,
+    mesh=None,
+):
+    """Compiled expansion round, cached per (config, bound, capacity, mesh).
+
+    When ``mesh`` is given (1-D, axis "data"), the compacted candidate batch
+    is constrained to shard along the mesh — candidate geometry, the
+    photo-consistency sweep (the round's dominant cost) and acceptance all
+    partition over devices; XLA inserts the collectives for the global
+    scatter-max cell claims and occupancy OR.
+    """
+
+    def run(gray, K, R, t, centers_cam, occupancy,
+            f_c, f_n, f_vis, f_proj, f_valid, scale):
+        return _expansion_round_impl(
+            gray, K, R, t, centers_cam, occupancy,
+            f_c, f_n, f_vis, f_proj, f_valid,
+            config, visible_lower_bound, round_capacity, scale, mesh,
+        )
+
+    return jax.jit(run)
+
+
 def expansion_round(
     gray,
     K, R, t, centers_cam,
@@ -56,6 +79,37 @@ def expansion_round(
     visible_lower_bound: int,
     round_capacity: int,
     scale: float,
+    mesh=None,
+):
+    """One expansion round over the frontier (see _make_round_program)."""
+    run = _make_round_program(
+        config, visible_lower_bound, round_capacity, mesh
+    )
+    return run(
+        gray, K, R, t, centers_cam, occupancy,
+        f_c, f_n, f_vis, f_proj, f_valid, scale,
+    )
+
+
+def _shard_constraint(x, mesh):
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P("data", *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def _expansion_round_impl(
+    gray,
+    K, R, t, centers_cam,
+    occupancy,
+    f_c, f_n, f_vis, f_proj, f_valid,
+    config: MvsConfig,
+    visible_lower_bound: int,
+    round_capacity: int,
+    scale,
+    mesh=None,
 ):
     """One expansion round over the frontier.
 
@@ -79,12 +133,13 @@ def expansion_round(
     (sel,) = jnp.nonzero(
         flat_ok, size=round_capacity, fill_value=flat_ok.shape[0] - 1
     )
+    sel = _shard_constraint(sel, mesh)
     sel_valid = flat_ok[sel]
     n_candidates = jnp.sum(flat_ok.astype(jnp.int32))
 
     parent = (sel // (n_img * 4)).astype(jnp.int32)
     img = ((sel // 4) % n_img).astype(jnp.int32)
-    cell = cand_cell.reshape(-1, 2)[sel]
+    cell = _shard_constraint(cand_cell.reshape(-1, 2)[sel], mesh)
 
     # --- Geometry: back-project cell center, intersect parent plane. ---
     center_pix = cell_center(cell, config.cell_size)
@@ -94,10 +149,14 @@ def expansion_round(
     dist = jnp.linalg.norm(dvec, axis=-1)
     n_new = dvec / jnp.maximum(dist[:, None], 1e-12)
 
-    # --- Photo-consistency for the whole batch. ---
+    # --- Photo-consistency for the whole batch (sharded over candidates
+    # when a mesh is given: the round's dominant cost). ---
+    c_new = _shard_constraint(c_new, mesh)
     vis, proj, score, cnt = photo_consistency(
         gray, K, R, t, c_new, img, config.min_ncc_expand, config.patch_wid
     )
+    vis = _shard_constraint(vis, mesh)
+    proj = _shard_constraint(proj, mesh)
 
     # --- Acceptance (MVS2.py:369). ---
     d = c_new - f_c[parent]

@@ -64,8 +64,13 @@ def dense_reconstruction(
     recon: SparseReconstruction,
     config: MvsConfig = MvsConfig(),
     scale: float = 1.0,
+    mesh=None,
 ) -> DenseReconstruction:
-    """Run patch-based MVS from SfM tracks."""
+    """Run patch-based MVS from SfM tracks.
+
+    With ``mesh`` (1-D, axis "data") the expansion rounds shard their
+    candidate batches across devices (see mvs.expand._make_round_program).
+    """
     timers = StageTimer()
     metrics = Metrics()
     n, h, w = images.shape[0], images.shape[1], images.shape[2]
@@ -111,7 +116,7 @@ def dense_reconstruction(
                 gray, K, R, t, centers_cam, occupancy,
                 frontier["c"], frontier["n"], frontier["vis"],
                 frontier["proj"], frontier["valid"],
-                config, bound, config.round_capacity, scale,
+                config, bound, config.round_capacity, scale, mesh=mesh,
             )
             acc_valid = np.asarray(accepted["valid"])
             n_acc = int(acc_valid.sum())

@@ -66,3 +66,26 @@ def test_sharded_dino_ba(dino_images, dino_calib):
     after = recon.rms_reprojection_error()
     assert after <= before
     assert after < 0.3
+
+
+def test_mvs_sharded_matches_single(dino_images, dino_calib):
+    """Expansion rounds under a GSPMD-sharded candidate batch must produce
+    the same cloud as single-device (semantics-preserving partitioning)."""
+    from sfm_tpu.config import PipelineConfig, FeatureConfig, MvsConfig
+    from sfm_tpu.sfm import structure_from_motion
+    from sfm_tpu.mvs import dense_reconstruction
+
+    imgs, _ = dino_images
+    cal = dino_calib.subset(range(8))
+    cfg = PipelineConfig(
+        features=FeatureConfig(max_corners=1024, max_matches=512))
+    recon = structure_from_motion(imgs, cal, cfg)
+    mvs_cfg = MvsConfig(round_capacity=2048, max_rounds=3)
+    d1 = dense_reconstruction(imgs, cal, recon, mvs_cfg, scale=10.0)
+    mesh = data_mesh()
+    d2 = dense_reconstruction(imgs, cal, recon, mvs_cfg, scale=10.0,
+                              mesh=mesh)
+    assert d1.num_points == d2.num_points
+    assert np.allclose(
+        np.sort(d1.points, axis=0), np.sort(d2.points, axis=0), atol=1e-5
+    )
