@@ -129,7 +129,33 @@ def _expansion_round_impl(
     vacant = is_vacant(occupancy, img_ids, cand_cell)
     cand_ok = f_valid[:, None, None] & f_vis[:, :, None] & vacant
 
+    # Pre-dedup BEFORE scoring: many frontier hits propose the same target
+    # cell; scoring duplicates wastes the round's photo-consistency budget
+    # (the dominant cost) only for the post-score claim pass to discard all
+    # but one.  Keep exactly one proposer per (img, cell): scatter-min of
+    # the flat candidate index into the cell grid (first-come, the parallel
+    # analogue of the reference's sequential first-claim).
+    n_flat = F * n_img * 4
+    cx, cy = occupancy.shape[1], occupancy.shape[2]
+    cell_flat = cand_cell.reshape(-1, 2)
+    img_flat = jnp.repeat(
+        jnp.broadcast_to(
+            jnp.arange(n_img, dtype=jnp.int32)[None, :], (F, n_img)
+        ).reshape(-1),
+        4,
+    )
+    lin_all = (
+        img_flat * cx + jnp.clip(cell_flat[:, 0], 0, cx - 1)
+    ) * cy + jnp.clip(cell_flat[:, 1], 0, cy - 1)
     flat_ok = cand_ok.reshape(-1)
+    idx_all = jnp.arange(n_flat, dtype=jnp.int32)
+    big = jnp.int32(n_flat)
+    first_at_cell = jnp.full((occupancy.size,), big, jnp.int32)
+    first_at_cell = first_at_cell.at[lin_all].min(
+        jnp.where(flat_ok, idx_all, big)
+    )
+    flat_ok = flat_ok & (first_at_cell[lin_all] == idx_all)
+
     (sel,) = jnp.nonzero(
         flat_ok, size=round_capacity, fill_value=flat_ok.shape[0] - 1
     )

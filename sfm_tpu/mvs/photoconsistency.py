@@ -55,44 +55,39 @@ def photo_consistency(
         centers[:, None, :], K[None], R[None], t[None]
     )
 
-    # Reference patch per candidate, sampled in its own reference image.
-    ref_proj = jnp.take_along_axis(
-        proj, ref_idx[:, None, None].astype(jnp.int32), axis=1
-    )[:, 0]
-    # Gather per-candidate reference rows by sampling each image for the
-    # candidates assigned to it (scan over images; patches stay (M, D)).
-    def ref_scan(carry, i):
-        patches_i, inb_i = bilinear_sample_patches(gray[i], ref_proj, wid)
-        sel = (ref_idx == i)[:, None]
-        acc_p, acc_in = carry
-        return (
-            jnp.where(sel, patches_i, acc_p),
-            jnp.where(sel[:, 0], inb_i, acc_in),
-        ), None
-
-    (ref_patches, ref_inb), _ = jax.lax.scan(
-        ref_scan,
-        (jnp.zeros((m, side2), jnp.float32), jnp.zeros((m,), bool)),
-        jnp.arange(n_img),
-    )
-    ref_desc = normalize_descriptors(ref_patches)
-
-    # Score every view.
+    # ONE sampling sweep over views: each view's normalized descriptors are
+    # stored (bf16 — NCC ranking tolerates it and it halves the HBM
+    # footprint), the reference row is then just a take_along_axis, and NCC
+    # for all views is a single batched contraction.  This halves the gather
+    # work vs. a separate reference-sampling pass.
     def view_scan(_, i):
         patches_i, inb_i = bilinear_sample_patches(gray[i], proj[:, i], wid)
         desc_i = normalize_descriptors(patches_i)
-        ncc = jnp.sum(ref_desc * desc_i, axis=-1) * ncc_scale
-        ok = (
-            (ncc > min_ncc)
-            & inb_i
-            & ref_inb
-            & (ref_idx != i)
-        )
-        return None, (ok, jnp.where(ok, ncc, 0.0))
+        return None, (desc_i.astype(jnp.bfloat16), inb_i)
 
-    _, (vis_t, score_t) = jax.lax.scan(view_scan, None, jnp.arange(n_img))
-    vis = jnp.transpose(vis_t)          # (M, N)
-    scores = jnp.transpose(score_t)     # (M, N)
+    _, (desc_t, inb_t) = jax.lax.scan(view_scan, None, jnp.arange(n_img))
+    desc = jnp.transpose(desc_t, (1, 0, 2))   # (M, N, D) bf16
+    inb = jnp.transpose(inb_t)                # (M, N)
+
+    ref_ix = ref_idx[:, None, None].astype(jnp.int32)
+    ref_desc = jnp.take_along_axis(
+        desc, jnp.broadcast_to(ref_ix, (m, 1, side2)), axis=1
+    )[:, 0]                                    # (M, D) bf16
+    ref_inb = jnp.take_along_axis(inb, ref_ix[..., 0], axis=1)[:, 0]
+
+    ncc = (
+        jnp.einsum(
+            "mnd,md->mn", desc, ref_desc,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        * ncc_scale
+    )
+    not_ref = (
+        jnp.arange(n_img, dtype=jnp.int32)[None, :] != ref_idx[:, None]
+    )
+    vis = (ncc > min_ncc) & inb & ref_inb[:, None] & not_ref
+    scores = jnp.where(vis, ncc, 0.0)
     vis_count = jnp.sum(vis.astype(jnp.int32), axis=1)
     score_mean = jnp.sum(scores, axis=1) / jnp.maximum(vis_count, 1)
     return vis, proj.astype(jnp.float32), score_mean, vis_count

@@ -107,8 +107,27 @@ def dense_reconstruction(
     )[seed_valid]
     all_color = [seed_colors]
 
+    def _pad_frontier(fr, cap):
+        """Fix the frontier's leading dim to ``cap`` so every round reuses
+        ONE compiled program (a second frontier shape costs a full
+        recompile).  Overflow keeps the first ``cap`` patches (logged)."""
+        f = fr["c"].shape[0]
+        if f == cap:
+            return fr, 0
+        out = {}
+        for k, v in fr.items():
+            if f > cap:
+                out[k] = v[:cap]
+            else:
+                pad = [(0, cap - f)] + [(0, 0)] * (v.ndim - 1)
+                out[k] = jnp.pad(v, pad)
+        return out, max(0, f - cap)
+
     total = n_seeds
-    frontier = seeds
+    frontier, n_trunc = _pad_frontier(seeds, config.round_capacity)
+    if n_trunc:
+        metrics.record("mvs_seed_frontier_truncated", n_trunc)
+    dropped_candidates = 0
     rounds = 0
     with timers.stage("expand"):
         while rounds < config.max_rounds and total < config.max_patches:
@@ -120,6 +139,7 @@ def dense_reconstruction(
             )
             acc_valid = np.asarray(accepted["valid"])
             n_acc = int(acc_valid.sum())
+            dropped_candidates += max(0, int(n_cand) - config.round_capacity)
             rounds += 1
             if n_acc == 0:
                 break
@@ -137,6 +157,10 @@ def dense_reconstruction(
             frontier = accepted
     metrics.record("mvs_rounds", rounds)
     metrics.record("mvs_num_points", total)
+    # No silent caps: candidates beyond the per-round capacity are deferred
+    # to later rounds by the vacancy test, but an unexpectedly large count
+    # here signals the capacity knob should grow.
+    metrics.record("mvs_candidates_over_capacity", dropped_candidates)
 
     points = np.concatenate(all_c).astype(np.float32)
     colors = np.concatenate(all_color).astype(np.uint8)
