@@ -18,7 +18,6 @@ applies both.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

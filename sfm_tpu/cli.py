@@ -159,7 +159,6 @@ def main(argv=None) -> int:
         summary["sparse_mean_reproj_px"] = recon.mean_reprojection_error()
         if args.debug and recon.debug_pairs is not None:
             from sfm_tpu.utils.viz import draw_epipolar_debug
-            from sfm_tpu.io.images import to_gray as _tg
 
             dp = recon.debug_pairs
             for pi in range(min(3, len(dp["pairs"]))):

@@ -20,7 +20,6 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from sfm_tpu.config import FeatureConfig
 from sfm_tpu.ops.ncc import ncc_scores
 
 _NEG = -2.0  # below any valid NCC score (range [-1, 1])

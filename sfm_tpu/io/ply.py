@@ -8,7 +8,6 @@ uchar per vertex (MVS2.py:264-274, 295).
 
 from __future__ import annotations
 
-import struct
 
 import numpy as np
 

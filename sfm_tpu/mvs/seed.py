@@ -14,7 +14,6 @@ program instead of a per-track Python loop:
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +41,6 @@ def build_seed_candidates(track_offsets, track_obs):
     ref_rows = track_obs[track_offsets[:-1]]          # (T, 3) first obs
     track_id = np.repeat(np.arange(n_tracks), lengths - 1)
     # Indices of non-first observations.
-    all_idx = np.arange(track_obs.shape[0])
     first_mask = np.zeros(track_obs.shape[0], bool)
     first_mask[track_offsets[:-1]] = True
     other_rows = track_obs[~first_mask]
