@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mvs_rounds", type=int, default=64)
     p.add_argument("--mvs_round_capacity", type=int, default=16384)
     p.add_argument("--mvs_max_patches", type=int, default=100_000)
+    p.add_argument("--mvs_max_views", type=int, default=16,
+                   help="PMVS-style geometric view gate: NCC-test only this "
+                        "many best-aligned views per patch (0 = all views, "
+                        "the reference's exact semantics)")
     p.add_argument("--refine_cameras", action="store_true")
     p.add_argument("--ba_dtype", default=None,
                    help="float32|float64 (default: f64 on cpu, f32 on tpu)")
@@ -104,6 +108,7 @@ def config_from_args(args):
             max_rounds=args.mvs_rounds,
             round_capacity=args.mvs_round_capacity,
             max_patches=args.mvs_max_patches,
+            max_photo_views=args.mvs_max_views,
         ),
         runtime=RuntimeConfig(
             mesh_shape=args.mesh_devices,

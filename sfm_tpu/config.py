@@ -112,6 +112,11 @@ class MvsConfig:
     max_rounds: int = 64
     # Per-round candidate batch capacity (static shape).
     round_capacity: int = 16_384
+    # PMVS-style geometric view gate: NCC-sample only the (max_photo_views-1)
+    # non-reference views best aligned with the patch normal (0 = score all
+    # views, the reference's exact semantics).  Oblique views fail the NCC
+    # threshold anyway; this cuts the dominant gather sweep ~N/max_photo_views.
+    max_photo_views: int = 16
     # PMVS visibility-consistency outlier filter (reference implements but
     # disables it at MVS2.py:280-281; here it is a cheap vectorized post-pass).
     enable_outlier_filter: bool = False

@@ -58,7 +58,15 @@ def read_pars(path: str) -> Calibration:
     """Parse a Middlebury ``*_par.txt`` file into a :class:`Calibration`."""
     with open(path, "r") as f:
         lines = [ln.strip() for ln in f if ln.strip()]
-    count = int(lines[0].split()[0])
+    if not lines:
+        raise ValueError(f"{path}: empty calibration file")
+    try:
+        count = int(lines[0].split()[0])
+    except ValueError:
+        raise ValueError(
+            f"{path}: first line must be the camera count "
+            f"(Middlebury par format), got: {lines[0][:80]!r}"
+        ) from None
     rows = lines[1 : 1 + count]
     if len(rows) != count:
         raise ValueError(
@@ -70,7 +78,12 @@ def read_pars(path: str) -> Calibration:
         if len(parts) != 1 + 9 + 9 + 3:
             raise ValueError(f"{path}: malformed row: {ln[:80]}")
         names.append(parts[0])
-        vals = np.asarray([float(v) for v in parts[1:]], dtype=np.float64)
+        try:
+            vals = np.asarray([float(v) for v in parts[1:]], dtype=np.float64)
+        except ValueError:
+            raise ValueError(
+                f"{path}: non-numeric camera parameters in row: {ln[:80]!r}"
+            ) from None
         Ks.append(vals[0:9].reshape(3, 3))
         Rs.append(vals[9:18].reshape(3, 3))
         ts.append(vals[18:21])

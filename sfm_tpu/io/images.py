@@ -40,6 +40,42 @@ def load_images(
     return np.stack(imgs), paths
 
 
+_DEVICE_CACHE: dict = {}
+
+
+def device_gray(images: np.ndarray):
+    """Upload the grayscale image stack once per process, shared by stages.
+
+    SfM and MVS both consume the same stack; over a remote-TPU link every
+    transferred byte counts, so grayscale is computed on the HOST, quantized
+    to uint8 (exactly what the reference's cv2.cvtColor produces,
+    utils.py:169-170), and shipped as (N, H, W) uint8 — 3x less traffic than
+    the RGB stack, which never needs to reach the device (patch colors are
+    sampled host-side from the original images).  Cached per source-array
+    identity; entries are evicted when the host array is garbage-collected
+    (so ``id`` reuse cannot alias).  The host array must not be mutated in
+    place after first use.
+
+    Returns gray_dev float32 (N, H, W) in [0, 255].
+    """
+    import weakref
+
+    import jax.numpy as jnp
+
+    key = id(images)
+    hit = _DEVICE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    gray_u8 = np.rint(to_gray(images)).astype(np.uint8)
+    gray = jnp.asarray(gray_u8).astype(jnp.float32)
+    _DEVICE_CACHE[key] = gray
+    try:
+        weakref.finalize(images, _DEVICE_CACHE.pop, key, None)
+    except TypeError:
+        pass  # non-weakref-able input: cache for process lifetime
+    return gray
+
+
 def to_gray(images: np.ndarray) -> np.ndarray:
     """uint8 RGB (..., H, W, 3) -> float32 grayscale (..., H, W) in [0, 255].
 

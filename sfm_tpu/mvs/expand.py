@@ -38,7 +38,10 @@ from sfm_tpu.mvs.cells import (
     is_vacant,
     which_cell,
 )
-from sfm_tpu.mvs.photoconsistency import photo_consistency
+from sfm_tpu.mvs.photoconsistency import (
+    pack_patch_payload,
+    photo_consistency,
+)
 
 _OFFSETS = jnp.asarray([[-1, -1], [-1, 1], [1, -1], [1, 1]], jnp.int32)
 
@@ -81,7 +84,13 @@ def expansion_round(
     scale: float,
     mesh=None,
 ):
-    """One expansion round over the frontier (see _make_round_program)."""
+    """One expansion round over the frontier (see _make_round_program).
+
+    Returns (accepted frontier dict [stays on device], new occupancy,
+    packed (C+1, 11) float32 — rows 0..C-1 per
+    ``photoconsistency.pack_patch_payload``, row C carries
+    [n_candidates, 0, ...] — so the host loop needs exactly ONE fetch).
+    """
     run = _make_round_program(
         config, visible_lower_bound, round_capacity, mesh
     )
@@ -179,7 +188,8 @@ def _expansion_round_impl(
     # when a mesh is given: the round's dominant cost). ---
     c_new = _shard_constraint(c_new, mesh)
     vis, proj, score, cnt = photo_consistency(
-        gray, K, R, t, c_new, img, config.min_ncc_expand, config.patch_wid
+        gray, K, R, t, c_new, img, config.min_ncc_expand, config.patch_wid,
+        config.max_photo_views,
     )
     vis = _shard_constraint(vis, mesh)
     proj = _shard_constraint(proj, mesh)
@@ -236,4 +246,11 @@ def _expansion_round_impl(
         "score": score,
         "valid": accept,
     }
-    return accepted, occupancy, n_candidates
+    ref_pix = jnp.take_along_axis(
+        proj, img[:, None, None].astype(jnp.int32).repeat(2, -1), axis=1
+    )[:, 0]
+    packed = pack_patch_payload(c_new, n_new, score, ref_pix, img, accept)
+    tail = jnp.zeros((1, packed.shape[1]), jnp.float32)
+    tail = tail.at[0, 0].set(n_candidates.astype(jnp.float32))
+    packed = jnp.concatenate([packed, tail], axis=0)
+    return accepted, occupancy, packed

@@ -24,11 +24,55 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.geometry.projection import project_pinhole
-from sfm_tpu.ops.ncc import bilinear_sample_patches
+from sfm_tpu.ops.ncc import (
+    bilinear_sample_patches,
+    bilinear_sample_patches_stack,
+)
 from sfm_tpu.ops.patches import normalize_descriptors
 
 
-@functools.partial(jax.jit, static_argnames=("wid",))
+def pack_patch_payload(c, n, score, ref_pix, ref_idx, valid):
+    """Fuse the per-patch host-bound outputs into one (M, 11) float32 array.
+
+    Over a remote-TPU link each device->host fetch pays a large fixed
+    latency; packing [c(3) | n(3) | score | u | v | ref | valid] lets the
+    host loop retrieve a whole round's results in a single small transfer.
+    (u, v) is the patch's projection in its reference view ``ref`` — the
+    host samples the patch COLOR there from the original images it already
+    holds (the reference samples int pixel colors, MVS2.py:119-120), so the
+    RGB stack never has to reach the device.
+    """
+    return jnp.concatenate(
+        [
+            c.astype(jnp.float32),
+            n.astype(jnp.float32),
+            score.astype(jnp.float32)[:, None],
+            ref_pix.astype(jnp.float32),
+            ref_idx.astype(jnp.float32)[:, None],
+            valid.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def unpack_patch_payload(ph, images):
+    """Host-side decode of ``pack_patch_payload`` rows (numpy).
+
+    Returns (valid mask, c, n, score, colors uint8) with colors sampled
+    nearest-pixel from ``images`` at each patch's reference projection.
+    """
+    import numpy as np
+
+    h, w = images.shape[1], images.shape[2]
+    valid = ph[:, 10] > 0.5
+    x = np.clip(np.rint(ph[:, 7]).astype(np.int64), 0, w - 1)
+    y = np.clip(np.rint(ph[:, 8]).astype(np.int64), 0, h - 1)
+    ref = np.clip(ph[:, 9].astype(np.int64), 0, images.shape[0] - 1)
+    colors = images[ref, y, x]
+    return valid, ph[:, 0:3], ph[:, 3:6], ph[:, 6], colors
+
+
+@functools.partial(jax.jit, static_argnames=("wid", "max_views"))
 def photo_consistency(
     gray,            # (N, H, W) float32 grayscale stack
     K, R, t,         # (N, 3, 3), (N, 3, 3), (N, 3) calibration
@@ -36,8 +80,21 @@ def photo_consistency(
     ref_idx,         # (M,) int32 reference image per candidate
     min_ncc: float,
     wid: int = 5,
+    max_views: int = 0,
 ):
     """Score M candidates against all N views.
+
+    ``max_views > 0`` enables the PMVS-style geometric visibility gate
+    (Furukawa & Ponce, "Accurate, Dense, and Robust Multi-View Stereopsis",
+    §3.2 uses an angle threshold between the patch normal and each viewing
+    ray): only the ``max_views - 1`` non-reference views whose viewing
+    direction best aligns with the patch normal (and whose projection lands
+    in-frame, in front of the camera) are NCC-sampled.  Views outside the
+    subset are reported invisible.  With a ring of 48 cameras the oblique
+    views fail the 0.7 NCC threshold anyway, so this trades no measurable
+    acceptance for a ~N/max_views cut in the gather sweep — the whole MVS
+    stage's dominant cost.  ``max_views = 0`` scores every view, the
+    reference's exact semantics (MVS2.py:62-77).
 
     Returns:
       vis: (M, N) bool — view passes NCC threshold (False at the ref view);
@@ -46,6 +103,10 @@ def photo_consistency(
       vis_count: (M,) int32 number of visible (non-reference) views.
     """
     n_img = gray.shape[0]
+    if 0 < max_views < n_img:
+        return _photo_consistency_gated(
+            gray, K, R, t, centers, ref_idx, min_ncc, wid, max_views
+        )
     m = centers.shape[0]
     side2 = (2 * wid + 1) ** 2
     ncc_scale = side2 / (side2 - 1.0)
@@ -90,4 +151,81 @@ def photo_consistency(
     scores = jnp.where(vis, ncc, 0.0)
     vis_count = jnp.sum(vis.astype(jnp.int32), axis=1)
     score_mean = jnp.sum(scores, axis=1) / jnp.maximum(vis_count, 1)
+    return vis, proj.astype(jnp.float32), score_mean, vis_count
+
+
+def _photo_consistency_gated(
+    gray, K, R, t, centers, ref_idx, min_ncc, wid: int, max_views: int
+):
+    """Top-(max_views-1) geometric view selection + one stacked gather sweep.
+
+    Same contract as ``photo_consistency`` (see its docstring); the subset is
+    chosen per candidate by viewing-direction alignment with the patch
+    normal, computed from geometry alone (no image access), so the expensive
+    patch gather runs over M x max_views samples instead of M x N.
+    """
+    n_img = gray.shape[0]
+    m = centers.shape[0]
+    side2 = (2 * wid + 1) ** 2
+    ncc_scale = side2 / (side2 - 1.0)
+    v_sub = max_views - 1
+
+    proj = project_pinhole(
+        centers[:, None, :], K[None], R[None], t[None]
+    )                                                     # (M, N, 2)
+    depth = (
+        jnp.einsum("nij,mj->mni", R, centers) + t[None]
+    )[..., 2]                                             # (M, N)
+
+    cam_centers = -jnp.einsum("nji,nj->ni", R, t)         # (N, 3) = -R^T t
+    dirs = cam_centers[None] - centers[:, None]           # (M, N, 3)
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+    )
+    normal = jnp.take_along_axis(
+        dirs, ref_idx[:, None, None].astype(jnp.int32).repeat(3, -1), axis=1
+    )[:, 0]                                               # (M, 3): toward ref cam
+    cos_ang = jnp.einsum("mni,mi->mn", dirs, normal)
+
+    h_img, w_img = gray.shape[1], gray.shape[2]
+    inframe = (
+        (proj[..., 0] >= wid + 1)
+        & (proj[..., 0] <= w_img - wid - 2)
+        & (proj[..., 1] >= wid + 1)
+        & (proj[..., 1] <= h_img - wid - 2)
+        & (depth > 0)
+    )
+    not_ref = (
+        jnp.arange(n_img, dtype=jnp.int32)[None, :] != ref_idx[:, None]
+    )
+    pref = jnp.where(inframe & not_ref, cos_ang, -jnp.inf)
+    top_pref, top_idx = jax.lax.top_k(pref, v_sub)        # (M, V-1)
+    pick_ok = jnp.isfinite(top_pref)
+
+    vidx = jnp.concatenate(
+        [ref_idx[:, None].astype(jnp.int32), top_idx.astype(jnp.int32)],
+        axis=1,
+    )                                                     # (M, V)
+    pix_v = jnp.take_along_axis(
+        proj, vidx[..., None].repeat(2, -1), axis=1
+    )                                                     # (M, V, 2)
+    patches, inb_v = bilinear_sample_patches_stack(gray, vidx, pix_v, wid)
+    desc = normalize_descriptors(patches).astype(jnp.bfloat16)  # (M, V, D)
+    ncc = (
+        jnp.einsum(
+            "mvd,md->mv", desc, desc[:, 0],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        * ncc_scale
+    )
+    vis_v = (
+        (ncc[:, 1:] > min_ncc) & inb_v[:, 1:] & inb_v[:, :1] & pick_ok
+    )                                                     # (M, V-1)
+    scores = jnp.where(vis_v, ncc[:, 1:], 0.0)
+    vis_count = jnp.sum(vis_v.astype(jnp.int32), axis=1)
+    score_mean = jnp.sum(scores, axis=1) / jnp.maximum(vis_count, 1)
+
+    rows = jnp.broadcast_to(jnp.arange(m)[:, None], top_idx.shape)
+    vis = jnp.zeros((m, n_img), bool).at[rows, top_idx].set(vis_v)
     return vis, proj.astype(jnp.float32), score_mean, vis_count

@@ -18,7 +18,8 @@ import numpy as np
 
 from sfm_tpu.config import MvsConfig
 from sfm_tpu.io.calib import Calibration
-from sfm_tpu.io.images import to_gray
+from sfm_tpu.io.images import device_gray
+from sfm_tpu.mvs.photoconsistency import unpack_patch_payload
 from sfm_tpu.mvs.cells import make_occupancy
 from sfm_tpu.mvs.expand import expansion_round
 from sfm_tpu.mvs.seed import build_seed_candidates, seed_patches
@@ -48,16 +49,6 @@ class DenseReconstruction:
         export_ply(path, self.points, self.colors)
 
 
-def _sample_colors(images, ref_idx, proj):
-    """Nearest-pixel RGB at each patch's reference projection
-    (the reference samples int pixel colors, MVS2.py:119-120)."""
-    n, h, w, _ = images.shape
-    pix = proj[jnp.arange(proj.shape[0]), ref_idx]        # (M, 2)
-    x = jnp.clip(jnp.round(pix[:, 0]).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip(jnp.round(pix[:, 1]).astype(jnp.int32), 0, h - 1)
-    return images[ref_idx, y, x]
-
-
 def dense_reconstruction(
     images: np.ndarray,
     calib: Calibration,
@@ -76,8 +67,7 @@ def dense_reconstruction(
     n, h, w = images.shape[0], images.shape[1], images.shape[2]
     bound = config.visible_lower_bound if n > 2 else 2
 
-    images_d = jnp.asarray(images)
-    gray = to_gray(images_d)
+    gray = device_gray(images)
     K = jnp.asarray(calib.K.astype(np.float32))
     R = jnp.asarray(calib.R.astype(np.float32))
     t = jnp.asarray(calib.t.astype(np.float32))
@@ -88,24 +78,30 @@ def dense_reconstruction(
         track_id, ref_obs, other_obs = build_seed_candidates(
             recon.track_offsets, recon.track_obs
         )
-        seeds, occupancy = seed_patches(
+        seeds, occupancy, seed_packed = seed_patches(
             gray, K, R, t, centers_cam,
             jnp.asarray(track_id), jnp.asarray(ref_obs), jnp.asarray(other_obs),
             recon.num_tracks, occupancy, config, bound,
         )
-        seed_valid = np.asarray(seeds["valid"])
+        # ONE device->host fetch for the whole seed stage; colors are
+        # sampled host-side from the original images (unpack_patch_payload).
+        seed_valid, s_c, s_n, s_score, s_color = unpack_patch_payload(
+            np.asarray(seed_packed), images
+        )
         n_seeds = int(seed_valid.sum())
         metrics.record("mvs_num_seeds", n_seeds)
 
-    all_c = [np.asarray(seeds["c"])[seed_valid]]
-    all_n = [np.asarray(seeds["n"])[seed_valid]]
-    all_score = [np.asarray(seeds["score"])[seed_valid]]
-    all_vis = [np.asarray(seeds["vis"])[seed_valid]]
-    all_proj = [np.asarray(seeds["proj"])[seed_valid]]
-    seed_colors = np.asarray(
-        _sample_colors(images_d, seeds["ref"], seeds["proj"])
-    )[seed_valid]
-    all_color = [seed_colors]
+    # vis (M, N) and proj (M, N, 2) are ~10x the bytes of everything else a
+    # round produces; only the (off-by-default) visibility outlier filter
+    # consumes them on the host, so only fetch them when it is enabled —
+    # the frontier itself stays on device either way.
+    fetch_visproj = config.enable_outlier_filter
+    all_c = [s_c[seed_valid]]
+    all_n = [s_n[seed_valid]]
+    all_score = [s_score[seed_valid]]
+    all_color = [s_color[seed_valid]]
+    all_vis = [np.asarray(seeds["vis"])[seed_valid]] if fetch_visproj else []
+    all_proj = [np.asarray(seeds["proj"])[seed_valid]] if fetch_visproj else []
 
     def _pad_frontier(fr, cap):
         """Fix the frontier's leading dim to ``cap`` so every round reuses
@@ -129,30 +125,33 @@ def dense_reconstruction(
         metrics.record("mvs_seed_frontier_truncated", n_trunc)
     dropped_candidates = 0
     rounds = 0
+    cap = config.round_capacity
     with timers.stage("expand"):
         while rounds < config.max_rounds and total < config.max_patches:
-            accepted, occupancy, n_cand = expansion_round(
+            accepted, occupancy, packed = expansion_round(
                 gray, K, R, t, centers_cam, occupancy,
                 frontier["c"], frontier["n"], frontier["vis"],
                 frontier["proj"], frontier["valid"],
-                config, bound, config.round_capacity, scale, mesh=mesh,
+                config, bound, cap, scale, mesh=mesh,
             )
-            acc_valid = np.asarray(accepted["valid"])
+            # ONE small fetch per round; the frontier stays on device.
+            ph = np.asarray(packed)
+            acc_valid, a_c, a_n, a_score, a_color = unpack_patch_payload(
+                ph[:cap], images
+            )
             n_acc = int(acc_valid.sum())
-            dropped_candidates += max(0, int(n_cand) - config.round_capacity)
+            n_cand = int(ph[cap, 0])
+            dropped_candidates += max(0, n_cand - cap)
             rounds += 1
             if n_acc == 0:
                 break
-            all_c.append(np.asarray(accepted["c"])[acc_valid])
-            all_n.append(np.asarray(accepted["n"])[acc_valid])
-            all_score.append(np.asarray(accepted["score"])[acc_valid])
-            all_vis.append(np.asarray(accepted["vis"])[acc_valid])
-            all_proj.append(np.asarray(accepted["proj"])[acc_valid])
-            all_color.append(
-                np.asarray(
-                    _sample_colors(images_d, accepted["ref"], accepted["proj"])
-                )[acc_valid]
-            )
+            all_c.append(a_c[acc_valid])
+            all_n.append(a_n[acc_valid])
+            all_score.append(a_score[acc_valid])
+            all_color.append(a_color[acc_valid])
+            if fetch_visproj:
+                all_vis.append(np.asarray(accepted["vis"])[acc_valid])
+                all_proj.append(np.asarray(accepted["proj"])[acc_valid])
             total += n_acc
             frontier = accepted
     metrics.record("mvs_rounds", rounds)

@@ -23,7 +23,10 @@ from sfm_tpu.config import MvsConfig
 from sfm_tpu.geometry.projection import projection_matrix
 from sfm_tpu.geometry.triangulation import triangulate_dlt, refine_triangulation
 from sfm_tpu.mvs.cells import fill_cells, which_cell
-from sfm_tpu.mvs.photoconsistency import photo_consistency
+from sfm_tpu.mvs.photoconsistency import (
+    pack_patch_payload,
+    photo_consistency,
+)
 
 _BIG = jnp.float32(1e30)
 
@@ -66,8 +69,9 @@ def seed_patches(
     Args (device arrays): gray (N,H,W); calibration; candidate arrays from
     ``build_seed_candidates``; occupancy grid.
 
-    Returns dict of per-seed arrays (length n_tracks, masked by 'valid') and
-    the updated occupancy.
+    Returns (dict of per-seed arrays (length n_tracks, masked by 'valid'),
+    updated occupancy, packed (n_tracks, 11) float32 host payload per
+    ``photoconsistency.pack_patch_payload`` — one fetch for the host).
     """
     P = projection_matrix(K, R, t)
     ref_img = ref_obs[:, 0]
@@ -88,7 +92,8 @@ def seed_patches(
     normal = dvec / jnp.maximum(dist[:, None], 1e-12)
 
     vis, proj, score, cnt = photo_consistency(
-        gray, K, R, t, c, ref_img, config.min_ncc_seed, config.patch_wid
+        gray, K, R, t, c, ref_img, config.min_ncc_seed, config.patch_wid,
+        config.max_photo_views,
     )
     passing = nondeg & (cnt >= visible_lower_bound)
 
@@ -131,4 +136,13 @@ def seed_patches(
     occupancy = fill_cells(
         occupancy, seeds["ref"], ref_cell, has_seed
     )
-    return seeds, occupancy
+    ref_pix = jnp.take_along_axis(
+        seeds["proj"],
+        seeds["ref"][:, None, None].astype(jnp.int32).repeat(2, -1),
+        axis=1,
+    )[:, 0]
+    packed = pack_patch_payload(
+        seeds["c"], seeds["n"], seeds["score"], ref_pix, seeds["ref"],
+        has_seed,
+    )
+    return seeds, occupancy, packed

@@ -158,7 +158,7 @@ def harris_response(gray, k: float = 0.04, use_pallas=None):
         return pl.pallas_call(
             kern,
             grid=(n, h // tile_h),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (1, tile_h, w), lambda i, j: (i, j, 0),
                 memory_space=pltpu.VMEM,

@@ -89,3 +89,53 @@ def bilinear_sample_patches(gray, centers, wid: int = 5):
     )
     m = val.shape[0]
     return val.reshape(m, -1).astype(jnp.float32), inb
+
+
+@functools.partial(jax.jit, static_argnames=("wid",))
+def bilinear_sample_patches_stack(stack, img_idx, centers, wid: int = 5):
+    """Like ``bilinear_sample_patches`` but with a per-sample image index
+    into a stacked (N, H, W) grayscale array: one (1, side+1, side+1)
+    ``dynamic_slice`` per sample, vmapped — XLA lowers it to the same
+    slice-gather as the single-image variant.
+
+    Args:
+      stack: (N, H, W); img_idx: (...,) int32; centers: (..., 2) float (x, y).
+
+    Returns (patches (..., (2*wid+1)**2) float32, inbounds (...,) bool).
+    """
+    batch_shape = img_idx.shape
+    img_flat = img_idx.reshape(-1).astype(jnp.int32)
+    ctr = centers.reshape(-1, 2)
+    _, h, w = stack.shape
+    side = 2 * wid + 1
+    win = side + 1
+    x = ctr[:, 0]
+    y = ctr[:, 1]
+    inb = (
+        (x >= wid + 1) & (x <= w - wid - 2) & (y >= wid + 1) & (y <= h - wid - 2)
+    )
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(jnp.float32)[:, None, None]
+    fy = (y - y0).astype(jnp.float32)[:, None, None]
+    base_x = jnp.clip(x0.astype(jnp.int32) - wid, 0, w - win)
+    base_y = jnp.clip(y0.astype(jnp.int32) - wid, 0, h - win)
+
+    def block(bi, by, bx):
+        return jax.lax.dynamic_slice(stack, (bi, by, bx), (1, win, win))[0]
+
+    window = jax.vmap(block)(img_flat, base_y, base_x)  # (M, win, win)
+    p00 = window[:, :side, :side]
+    p01 = window[:, :side, 1:]
+    p10 = window[:, 1:, :side]
+    p11 = window[:, 1:, 1:]
+    val = (
+        p00 * (1 - fy) * (1 - fx)
+        + p01 * (1 - fy) * fx
+        + p10 * fy * (1 - fx)
+        + p11 * fy * fx
+    )
+    return (
+        val.reshape(*batch_shape, side * side).astype(jnp.float32),
+        inb.reshape(batch_shape),
+    )

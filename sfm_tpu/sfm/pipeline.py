@@ -29,7 +29,7 @@ from sfm_tpu.features.matching import match_descriptors
 from sfm_tpu.geometry.projection import projection_matrix, project_pinhole
 from sfm_tpu.geometry.triangulation import triangulate_dlt, refine_triangulation
 from sfm_tpu.io.calib import Calibration
-from sfm_tpu.io.images import to_gray
+from sfm_tpu.io.images import device_gray
 from sfm_tpu.sfm.ransac import ransac_fundamental
 from sfm_tpu.sfm.tracks import TrackStore
 from sfm_tpu.utils.metrics import Metrics, StageTimer
@@ -198,7 +198,7 @@ def structure_from_motion(
     with timers.stage("features"):
         # Ship uint8 to the device and convert there: 4x less H2D traffic
         # (material over a remote-TPU tunnel) and the conversion fuses.
-        gray = to_gray(jnp.asarray(images))
+        gray = device_gray(images)
         fs: FeatureSet = detect_and_describe(
             gray, config.features, use_pallas=config.runtime.use_pallas
         )

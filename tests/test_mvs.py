@@ -117,6 +117,34 @@ class TestPhotoConsistency:
         on_cnt = np.asarray(cnt)
         assert (on_cnt >= 3).mean() < 0.4
 
+    def test_view_gated_matches_full(self, rng):
+        """max_views >= N is exactly the full path; max_views < N yields a
+        subset of the full visible set with consistent scores."""
+        gray, K, R, t = self._setup(rng, n_views=8)
+        pts = np.stack(
+            [rng.uniform(-0.3, 0.3, 32), rng.uniform(-0.2, 0.2, 32),
+             np.full(32, 2.0)], -1).astype(np.float32)
+        args = (
+            jnp.asarray(gray), jnp.asarray(K.astype(np.float32)),
+            jnp.asarray(R.astype(np.float32)), jnp.asarray(t.astype(np.float32)),
+            jnp.asarray(pts), jnp.zeros(32, jnp.int32), 0.7, 5,
+        )
+        vis_full, proj_full, score_full, cnt_full = photo_consistency(*args, 0)
+        vis_all, proj_all, _, cnt_all = photo_consistency(*args, 8)
+        # Gate wide enough to admit every view: identical visibility.
+        np.testing.assert_array_equal(np.asarray(vis_all), np.asarray(vis_full))
+        np.testing.assert_allclose(
+            np.asarray(proj_all), np.asarray(proj_full), atol=1e-4
+        )
+        vis_g, proj_g, score_g, cnt_g = photo_consistency(*args, 4)
+        vis_g, cnt_g = np.asarray(vis_g), np.asarray(cnt_g)
+        # Subset: a gated-visible view was visible in the full sweep too.
+        assert not (vis_g & ~np.asarray(vis_full)).any()
+        assert (cnt_g <= np.asarray(cnt_full)).all()
+        assert (cnt_g <= 3).all()  # at most max_views - 1
+        # On-plane points still have enough support through the gate.
+        assert (cnt_g >= 2).mean() > 0.8
+
     def test_out_of_bounds_invisible(self, rng):
         gray, K, R, t = self._setup(rng)
         pts = np.asarray([[50.0, 50.0, 2.0]], np.float32)  # projects far out
