@@ -120,9 +120,13 @@ def photo_consistency(
     # stored (bf16 — NCC ranking tolerates it and it halves the HBM
     # footprint), the reference row is then just a take_along_axis, and NCC
     # for all views is a single batched contraction.  This halves the gather
-    # work vs. a separate reference-sampling pass.
+    # work vs. a separate reference-sampling pass.  The stack is sampled in
+    # bf16: ~20% faster gather, and its ~half-ULP-of-a-pixel quantization is
+    # the same scale as the uint8 grayscale rounding already applied.
+    gray_s = gray.astype(jnp.bfloat16)
+
     def view_scan(_, i):
-        patches_i, inb_i = bilinear_sample_patches(gray[i], proj[:, i], wid)
+        patches_i, inb_i = bilinear_sample_patches(gray_s[i], proj[:, i], wid)
         desc_i = normalize_descriptors(patches_i)
         return None, (desc_i.astype(jnp.bfloat16), inb_i)
 
@@ -209,7 +213,9 @@ def _photo_consistency_gated(
     pix_v = jnp.take_along_axis(
         proj, vidx[..., None].repeat(2, -1), axis=1
     )                                                     # (M, V, 2)
-    patches, inb_v = bilinear_sample_patches_stack(gray, vidx, pix_v, wid)
+    patches, inb_v = bilinear_sample_patches_stack(
+        gray.astype(jnp.bfloat16), vidx, pix_v, wid
+    )
     desc = normalize_descriptors(patches).astype(jnp.bfloat16)  # (M, V, D)
     ncc = (
         jnp.einsum(
