@@ -56,10 +56,15 @@ def match_descriptors(
     s = ncc_scores(desc1, desc2)  # (K1, K2)
     s = jnp.where(valid1[:, None] & valid2[None, :], s, _NEG)
 
-    top2, top2_idx = jax.lax.top_k(s, 2)  # (K1, 2)
-    best = top2[:, 0]
-    second = top2[:, 1]
-    j_best = top2_idx[:, 0]
+    # Best + second-best via three row reductions instead of top_k(k=2):
+    # XLA lowers top_k as a full row sort on TPU — orders of magnitude more
+    # work than max/argmax passes over the (K1, K2) score matrix.
+    best = jnp.max(s, axis=1)
+    j_best = jnp.argmax(s, axis=1)
+    masked = jnp.where(
+        jnp.arange(s.shape[1])[None, :] == j_best[:, None], _NEG, s
+    )
+    second = jnp.max(masked, axis=1)
     # Lowe ratio on unit-vector L2 distances: d^2 = 2(1 - s).
     r2 = lowe_ratio * lowe_ratio
     d1 = jnp.maximum(1.0 - best, 0.0)

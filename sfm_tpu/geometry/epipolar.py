@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from sfm_tpu.geometry.nullvec import smallest_eigvec
+
 _EPS = 1e-12
 
 
@@ -64,13 +66,17 @@ def eight_point(pts1, pts2, weights=None):
     )
     A = A * weights[..., None]
     AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    f = vecs[..., :, 0]
+    # Null vector via batched inverse iteration (geometry.nullvec) — far
+    # faster than jnp.linalg.eigh for tens of thousands of 9x9s on TPU.
+    f = smallest_eigvec(AtA)
     F = f.reshape(*f.shape[:-1], 3, 3)
-    # Rank-2 enforcement: zero the smallest singular value.
-    U, S, Vt = jnp.linalg.svd(F)
-    S = S.at[..., 2].set(0.0)
-    F = (U * S[..., None, :]) @ Vt
+    # Rank-2 enforcement: subtract the smallest singular triplet.  With v3
+    # the smallest right singular vector (smallest eigenvector of F^T F),
+    # F v3 = s3 u3, so F - (F v3) v3^T == U diag(s1, s2, 0) V^T exactly —
+    # no SVD needed.
+    FtF = jnp.einsum("...ki,...kj->...ij", F, F)
+    v3 = smallest_eigvec(FtF)
+    F = F - jnp.einsum("...ij,...j->...i", F, v3)[..., :, None] * v3[..., None, :]
     # Denormalize: F = T2^T F_hat T1.
     F = jnp.swapaxes(T2, -1, -2) @ F @ T1
     norm = jnp.linalg.norm(F, axis=(-2, -1), keepdims=True)

@@ -251,3 +251,50 @@ class TestEpipolar:
         d = epipolar_distance(F, jnp.asarray(p1), jnp.asarray(p2n))
         assert float(jnp.min(d[:5])) > 1.0
         assert float(jnp.max(d[5:])) < 1e-2
+
+
+class TestNullvec:
+    """geometry.nullvec inverse iteration vs jnp.linalg.eigh."""
+
+    @pytest.mark.parametrize("k", [3, 4, 9])
+    def test_matches_eigh_on_separated_spectra(self, rng, k):
+        from sfm_tpu.geometry.nullvec import smallest_eigvec
+
+        B = 64
+        # PSD with a well-separated smallest eigenvalue (the DLT/8-point
+        # regime): lambda_min ~ 1e-6, others in [0.1, 1].
+        q = rng.normal(size=(B, k, k))
+        Q = np.linalg.qr(q)[0]
+        lams = np.concatenate(
+            [np.full((B, 1), 1e-6), rng.uniform(0.1, 1.0, (B, k - 1))], axis=1
+        )
+        M = np.einsum("bik,bk,bjk->bij", Q, lams, Q)
+        v = np.asarray(smallest_eigvec(jnp.asarray(M)))
+        _, vecs = np.linalg.eigh(M)
+        ref = vecs[:, :, 0]
+        dot = np.abs(np.sum(v * ref, axis=-1))
+        assert np.all(dot > 1 - 1e-4), dot.min()
+
+    def test_exact_nullspace(self, rng):
+        from sfm_tpu.geometry.nullvec import smallest_eigvec
+
+        # Rank-deficient normal matrix (minimal 8-point sample): A is 8x9.
+        A = rng.normal(size=(16, 8, 9))
+        M = np.einsum("bki,bkj->bij", A, A)
+        v = np.asarray(smallest_eigvec(jnp.asarray(M)))
+        resid = np.linalg.norm(np.einsum("bij,bj->bi", M, v), axis=-1)
+        assert np.all(resid < 1e-4), resid.max()
+
+    def test_cho_solve_roundtrip(self, rng):
+        from sfm_tpu.geometry.nullvec import (
+            cholesky_unrolled, cho_solve_unrolled,
+        )
+
+        A = rng.normal(size=(32, 5, 5))
+        M = np.einsum("bki,bkj->bij", A, A) + 0.5 * np.eye(5)
+        b = rng.normal(size=(32, 5))
+        L = cholesky_unrolled(jnp.asarray(M))
+        x = np.asarray(cho_solve_unrolled(L, jnp.asarray(b)))
+        np.testing.assert_allclose(
+            np.einsum("bij,bj->bi", M, x), b, atol=1e-3
+        )
