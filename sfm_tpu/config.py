@@ -116,7 +116,10 @@ class MvsConfig:
     # non-reference views best aligned with the patch normal (0 = score all
     # views, the reference's exact semantics).  Oblique views fail the NCC
     # threshold anyway; this cuts the dominant gather sweep ~N/max_photo_views.
-    max_photo_views: int = 16
+    # Measured on dinoRing-48: V=8 yields MORE points than V=16 (104,570 vs
+    # 102,716 — fewer occupied cells leave more candidates claimable) at
+    # 2.2x the speed, with equal mean NCC (tools/prof_v8.py).
+    max_photo_views: int = 8
     # PMVS visibility-consistency outlier filter (reference implements but
     # disables it at MVS2.py:280-281; here it is a cheap vectorized post-pass).
     enable_outlier_filter: bool = False

@@ -52,6 +52,7 @@ def _make_round_program(
     visible_lower_bound: int,
     round_capacity: int,
     mesh=None,
+    rounds_per_call: int = 1,
 ):
     """Compiled expansion round, cached per (config, bound, capacity, mesh).
 
@@ -64,11 +65,40 @@ def _make_round_program(
 
     def run(gray, K, R, t, centers_cam, occupancy,
             f_c, f_n, f_vis, f_proj, f_valid, scale):
-        return _expansion_round_impl(
-            gray, K, R, t, centers_cam, occupancy,
-            f_c, f_n, f_vis, f_proj, f_valid,
-            config, visible_lower_bound, round_capacity, scale, mesh,
+        if rounds_per_call == 1:
+            return _expansion_round_impl(
+                gray, K, R, t, centers_cam, occupancy,
+                f_c, f_n, f_vis, f_proj, f_valid,
+                config, visible_lower_bound, round_capacity, scale, mesh,
+            )
+
+        # Chunk several rounds into ONE device program (lax.scan over the
+        # frontier/occupancy carry): over a remote TPU each host round trip
+        # costs a fetch + dispatch, so amortizing them across rounds is an
+        # easy ~10% on the whole MVS stage.  An empty frontier mid-chunk
+        # produces all-invalid rounds downstream — harmless, the host stops
+        # at the first empty round it sees in the stacked payload.
+        def one(carry, _):
+            occ, fc, fn, fvis, fproj, fvalid = carry
+            accepted, occ2, packed = _expansion_round_impl(
+                gray, K, R, t, centers_cam, occ,
+                fc, fn, fvis, fproj, fvalid,
+                config, visible_lower_bound, round_capacity, scale, mesh,
+            )
+            carry2 = (
+                occ2, accepted["c"], accepted["n"], accepted["vis"],
+                accepted["proj"], accepted["valid"],
+            )
+            return carry2, packed
+
+        init = (occupancy, f_c, f_n, f_vis, f_proj, f_valid)
+        (occ, fc, fn, fvis, fproj, fvalid), packs = jax.lax.scan(
+            one, init, None, length=rounds_per_call
         )
+        frontier = {
+            "c": fc, "n": fn, "vis": fvis, "proj": fproj, "valid": fvalid,
+        }
+        return frontier, occ, packs  # packs: (rounds_per_call, C+1, 11)
 
     return jax.jit(run)
 
@@ -83,16 +113,20 @@ def expansion_round(
     round_capacity: int,
     scale: float,
     mesh=None,
+    rounds_per_call: int = 1,
 ):
-    """One expansion round over the frontier (see _make_round_program).
+    """Run ``rounds_per_call`` expansion rounds over the frontier in one
+    device program (see _make_round_program).
 
-    Returns (accepted frontier dict [stays on device], new occupancy,
-    packed (C+1, 11) float32 — rows 0..C-1 per
+    Returns (frontier dict after the last round [stays on device], new
+    occupancy, packed float32 — rows 0..C-1 per
     ``photoconsistency.pack_patch_payload``, row C carries
     [n_candidates, 0, ...] — so the host loop needs exactly ONE fetch).
+    With rounds_per_call == 1 packed is (C+1, 11); otherwise it is
+    (rounds_per_call, C+1, 11), one payload slice per round.
     """
     run = _make_round_program(
-        config, visible_lower_bound, round_capacity, mesh
+        config, visible_lower_bound, round_capacity, mesh, rounds_per_call
     )
     return run(
         gray, K, R, t, centers_cam, occupancy,

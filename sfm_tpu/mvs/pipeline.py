@@ -126,34 +126,44 @@ def dense_reconstruction(
     dropped_candidates = 0
     rounds = 0
     cap = config.round_capacity
+    # vis/proj of intermediate rounds only exist on device inside the
+    # chunked program, so the outlier filter (which consumes them on host)
+    # forces single-round programs; the default path chunks 2 rounds per
+    # program to amortize the per-call fetch + dispatch.
+    chunk = 1 if fetch_visproj else 2
     with timers.stage("expand"):
         while rounds < config.max_rounds and total < config.max_patches:
-            accepted, occupancy, packed = expansion_round(
+            frontier, occupancy, packed = expansion_round(
                 gray, K, R, t, centers_cam, occupancy,
                 frontier["c"], frontier["n"], frontier["vis"],
                 frontier["proj"], frontier["valid"],
                 config, bound, cap, scale, mesh=mesh,
+                rounds_per_call=chunk,
             )
-            # ONE small fetch per round; the frontier stays on device.
-            ph = np.asarray(packed)
-            acc_valid, a_c, a_n, a_score, a_color = unpack_patch_payload(
-                ph[:cap], images
-            )
-            n_acc = int(acc_valid.sum())
-            n_cand = int(ph[cap, 0])
-            dropped_candidates += max(0, n_cand - cap)
-            rounds += 1
-            if n_acc == 0:
+            # ONE small fetch per chunk; the frontier stays on device.
+            ph = np.asarray(packed).reshape(chunk, cap + 1, 11)
+            stop = False
+            for r in range(chunk):
+                acc_valid, a_c, a_n, a_score, a_color = unpack_patch_payload(
+                    ph[r, :cap], images
+                )
+                n_acc = int(acc_valid.sum())
+                n_cand = int(ph[r, cap, 0])
+                dropped_candidates += max(0, n_cand - cap)
+                rounds += 1
+                if n_acc == 0:
+                    stop = True
+                    break
+                all_c.append(a_c[acc_valid])
+                all_n.append(a_n[acc_valid])
+                all_score.append(a_score[acc_valid])
+                all_color.append(a_color[acc_valid])
+                if fetch_visproj:
+                    all_vis.append(np.asarray(frontier["vis"])[acc_valid])
+                    all_proj.append(np.asarray(frontier["proj"])[acc_valid])
+                total += n_acc
+            if stop:
                 break
-            all_c.append(a_c[acc_valid])
-            all_n.append(a_n[acc_valid])
-            all_score.append(a_score[acc_valid])
-            all_color.append(a_color[acc_valid])
-            if fetch_visproj:
-                all_vis.append(np.asarray(accepted["vis"])[acc_valid])
-                all_proj.append(np.asarray(accepted["proj"])[acc_valid])
-            total += n_acc
-            frontier = accepted
     metrics.record("mvs_rounds", rounds)
     metrics.record("mvs_num_points", total)
     # No silent caps: candidates beyond the per-round capacity are deferred
