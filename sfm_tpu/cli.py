@@ -118,6 +118,22 @@ def config_from_args(args):
 
 
 def main(argv=None) -> int:
+    """CLI entry point.
+
+    Like the reference driver, a RuntimeError from the pipeline is caught
+    and reported instead of crashing with a traceback (main.py:43-46) —
+    but exits nonzero so scripts can detect the failure.  Bad-input errors
+    (missing images, malformed par.txt) get the same clean reporting; the
+    library-level APIs still raise.
+    """
+    try:
+        return _main(argv)
+    except (RuntimeError, FileNotFoundError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     config = config_from_args(args)
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]

@@ -163,14 +163,32 @@ def _expansion_round_impl(
     n_img = gray.shape[0]
     F = f_c.shape[0]
 
-    # --- Candidate enumeration: (F, N, 4) -> compact to round_capacity. ---
-    hit_cell = which_cell(f_proj, config.cell_size)            # (F, N, 2)
-    cand_cell = hit_cell[:, :, None, :] + _OFFSETS[None, None]  # (F, N, 4, 2)
-    img_ids = jnp.broadcast_to(
-        jnp.arange(n_img, dtype=jnp.int32)[None, :, None], (F, n_img, 4)
+    # --- Candidate enumeration: compact visible HITS first, then expand the
+    # 4 diagonal offsets.  With the view gate a frontier row has at most
+    # max_photo_views - 1 visible entries out of N (the reference view is
+    # never in its own visible set), so hit_cap = F * max_photo_views can
+    # never overflow, while enumerating the dense (F, N, 4) space would make
+    # every downstream pass (vacancy gather, dedup scatter, compaction)
+    # ~N/V times larger than needed.  Ungated (max_photo_views = 0) the cap
+    # degenerates to the full F * N — identical to dense enumeration.
+    hit_ok = (f_valid[:, None] & f_vis).reshape(-1)            # (F*N,)
+    v_eff = (
+        min(config.max_photo_views, n_img)
+        if config.max_photo_views > 0 else n_img
     )
+    hit_cap = min(F * n_img, F * v_eff)
+    (hit_sel,) = jnp.nonzero(
+        hit_ok, size=hit_cap, fill_value=hit_ok.shape[0] - 1
+    )
+    hit_valid = hit_ok[hit_sel]
+    hit_patch = (hit_sel // n_img).astype(jnp.int32)           # (H,)
+    hit_img = (hit_sel % n_img).astype(jnp.int32)              # (H,)
+    hit_pix = f_proj.reshape(-1, 2)[hit_sel]                   # (H, 2)
+    hit_cell = which_cell(hit_pix, config.cell_size)           # (H, 2)
+    cand_cell = hit_cell[:, None, :] + _OFFSETS[None]          # (H, 4, 2)
+    img_ids = jnp.broadcast_to(hit_img[:, None], (hit_cap, 4))
     vacant = is_vacant(occupancy, img_ids, cand_cell)
-    cand_ok = f_valid[:, None, None] & f_vis[:, :, None] & vacant
+    cand_ok = hit_valid[:, None] & vacant
 
     # Pre-dedup BEFORE scoring: many frontier hits propose the same target
     # cell; scoring duplicates wastes the round's photo-consistency budget
@@ -178,15 +196,10 @@ def _expansion_round_impl(
     # but one.  Keep exactly one proposer per (img, cell): scatter-min of
     # the flat candidate index into the cell grid (first-come, the parallel
     # analogue of the reference's sequential first-claim).
-    n_flat = F * n_img * 4
+    n_flat = hit_cap * 4
     cx, cy = occupancy.shape[1], occupancy.shape[2]
     cell_flat = cand_cell.reshape(-1, 2)
-    img_flat = jnp.repeat(
-        jnp.broadcast_to(
-            jnp.arange(n_img, dtype=jnp.int32)[None, :], (F, n_img)
-        ).reshape(-1),
-        4,
-    )
+    img_flat = jnp.repeat(hit_img, 4)
     lin_all = (
         img_flat * cx + jnp.clip(cell_flat[:, 0], 0, cx - 1)
     ) * cy + jnp.clip(cell_flat[:, 1], 0, cy - 1)
@@ -206,8 +219,8 @@ def _expansion_round_impl(
     sel_valid = flat_ok[sel]
     n_candidates = jnp.sum(flat_ok.astype(jnp.int32))
 
-    parent = (sel // (n_img * 4)).astype(jnp.int32)
-    img = ((sel // 4) % n_img).astype(jnp.int32)
+    parent = hit_patch[sel // 4]
+    img = hit_img[sel // 4]
     cell = _shard_constraint(cand_cell.reshape(-1, 2)[sel], mesh)
 
     # --- Geometry: back-project cell center, intersect parent plane. ---
