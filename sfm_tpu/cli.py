@@ -47,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mvs_rounds", type=int, default=64)
     p.add_argument("--mvs_round_capacity", type=int, default=16384)
     p.add_argument("--mvs_max_patches", type=int, default=100_000)
-    p.add_argument("--mvs_max_views", type=int, default=8,
+    p.add_argument("--mvs_max_views", type=int, default=5,
                    help="PMVS-style geometric view gate: NCC-test only this "
                         "many best-aligned views per patch (0 = all views, "
                         "the reference's exact semantics)")

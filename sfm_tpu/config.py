@@ -116,10 +116,11 @@ class MvsConfig:
     # non-reference views best aligned with the patch normal (0 = score all
     # views, the reference's exact semantics).  Oblique views fail the NCC
     # threshold anyway; this cuts the dominant gather sweep ~N/max_photo_views.
-    # Measured on dinoRing-48: V=8 yields MORE points than V=16 (104,570 vs
-    # 102,716 — fewer occupied cells leave more candidates claimable) at
-    # 2.2x the speed, with equal mean NCC (tools/prof_v8.py).
-    max_photo_views: int = 8
+    # Measured on dinoRing-48 (tools/prof_v8.py): V=16 -> 102,716 points;
+    # V=8 -> 104,570 @ 2.36 s; V=5 -> 103,329 @ 1.66 s with HIGHER mean NCC
+    # (0.934 vs 0.912 — the gate keeps only the best-aligned views).  Raise
+    # this on datasets with sparser angular coverage than a 48-view ring.
+    max_photo_views: int = 5
     # PMVS visibility-consistency outlier filter (reference implements but
     # disables it at MVS2.py:280-281; here it is a cheap vectorized post-pass).
     enable_outlier_filter: bool = False

@@ -43,6 +43,11 @@ class TestCells:
         assert not bool(occ2.any())
 
 
+def _plane_rig(rng, n_views=4):
+    """Textured plane at z=2 seen by a camera ring -> perfect NCC."""
+    return TestPhotoConsistency._setup(None, rng, n_views)
+
+
 class TestPhotoConsistency:
     def _setup(self, rng, n_views=4):
         """Textured plane at z=2 seen by a camera ring -> perfect NCC."""
@@ -154,6 +159,93 @@ class TestPhotoConsistency:
             jnp.asarray(pts), jnp.zeros(1, jnp.int32), 0.4, 5,
         )
         assert int(cnt[0]) == 0
+
+
+class TestExpansionRound:
+    """Direct expansion_round coverage: the gated hit-compacted enumeration
+    (max_photo_views > 0) and its ungated degenerate (== 0, hit_cap = F*N)."""
+
+    def _frontier(self, rng, n_views=6):
+        from sfm_tpu.mvs.photoconsistency import photo_consistency
+
+        gray, K, R, t = _plane_rig(rng, n_views=n_views)
+        pts = np.stack(
+            [rng.uniform(-0.25, 0.25, 4), rng.uniform(-0.15, 0.15, 4),
+             np.full(4, 2.0)], -1).astype(np.float32)
+        ref = np.zeros(4, np.int32)
+        vis, proj, score, cnt = photo_consistency(
+            jnp.asarray(gray), jnp.asarray(K.astype(np.float32)),
+            jnp.asarray(R.astype(np.float32)),
+            jnp.asarray(t.astype(np.float32)),
+            jnp.asarray(pts), jnp.asarray(ref), 0.7, 5,
+        )
+        centers_cam = np.einsum("nij,ni->nj", -R.transpose(0, 2, 1), t)
+        # Parent normal: toward the reference camera (MVS2.py:245-250).
+        n = centers_cam[ref] - pts
+        n = (n / np.linalg.norm(n, axis=-1, keepdims=True)).astype(np.float32)
+        return gray, K, R, t, centers_cam, pts, n, vis, proj
+
+    @pytest.mark.parametrize("max_views", [0, 4])
+    def test_round_accepts_on_plane_neighbors(self, rng, max_views):
+        from sfm_tpu.mvs.expand import expansion_round
+        from sfm_tpu.mvs.photoconsistency import unpack_patch_payload
+
+        gray, K, R, t, centers_cam, pts, n, vis, proj = self._frontier(rng)
+        n_views, h, w = gray.shape
+        cfg = MvsConfig(
+            round_capacity=128, max_photo_views=max_views,
+            neighbor_radius_scaled=0.2,
+        )
+        occ = make_occupancy(n_views, h, w, cfg.cell_size)
+        frontier, occ2, packed = expansion_round(
+            jnp.asarray(gray), jnp.asarray(K.astype(np.float32)),
+            jnp.asarray(R.astype(np.float32)),
+            jnp.asarray(t.astype(np.float32)),
+            jnp.asarray(centers_cam.astype(np.float32)), occ,
+            jnp.asarray(pts), jnp.asarray(n), vis, proj,
+            jnp.ones(4, bool), cfg, 2, 128, 1.0,
+        )
+        packed = np.asarray(packed)
+        n_cand = int(packed[-1, 0])
+        valid, c, nrm, score, _ = unpack_patch_payload(
+            packed[:-1], np.zeros((n_views, h, w, 3), np.uint8)
+        )
+        assert 0 < n_cand <= 128
+        assert valid.sum() > 0
+        # Accepted patches stay on the parent plane (z = 2).
+        assert np.all(np.abs(c[valid][:, 2] - 2.0) < 0.02)
+        assert np.all(score[valid] >= cfg.min_ncc_expand)
+        # Every accepted patch claimed at least its target cell.
+        assert int(np.asarray(occ2).sum()) >= valid.sum()
+        # Frontier for the next round is the accepted set.
+        assert int(np.asarray(frontier["valid"]).sum()) == valid.sum()
+
+    def test_gated_accepts_subset_of_ungated_targets(self, rng):
+        """The V-gate only prunes photo-consistency VIEWS; with a wide-open
+        gate (V >= N) results must be identical to ungated."""
+        from sfm_tpu.mvs.expand import expansion_round
+
+        gray, K, R, t, centers_cam, pts, n, vis, proj = self._frontier(rng)
+        n_views, h, w = gray.shape
+        outs = []
+        for v in (0, n_views):
+            cfg = MvsConfig(
+                round_capacity=128, max_photo_views=v,
+                neighbor_radius_scaled=0.2,
+            )
+            occ = make_occupancy(n_views, h, w, cfg.cell_size)
+            _, occ2, packed = expansion_round(
+                jnp.asarray(gray), jnp.asarray(K.astype(np.float32)),
+                jnp.asarray(R.astype(np.float32)),
+                jnp.asarray(t.astype(np.float32)),
+                jnp.asarray(centers_cam.astype(np.float32)), occ,
+                jnp.asarray(pts), jnp.asarray(n), vis, proj,
+                jnp.ones(4, bool), cfg, 2, 128, 1.0,
+            )
+            outs.append((np.asarray(packed), np.asarray(occ2)))
+        (p0, o0), (p1, o1) = outs
+        np.testing.assert_array_equal(o0, o1)
+        np.testing.assert_allclose(p0, p1, atol=1e-5)
 
 
 class TestDensePipeline:
