@@ -39,8 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--max_reproj_err", type=float, default=0.3)
     p.add_argument("--track_threshold", type=float, default=0.01)
-    p.add_argument("--max_corners", type=int, default=4096)
-    p.add_argument("--max_matches", type=int, default=2048)
+    p.add_argument("--max_corners", type=int, default=1024)
+    p.add_argument("--max_matches", type=int, default=512)
     p.add_argument("--lowe_ratio", type=float, default=0.8)
     p.add_argument("--min_ncc_seed", type=float, default=0.4)
     p.add_argument("--min_ncc_expand", type=float, default=0.7)

@@ -32,7 +32,13 @@ class FeatureConfig:
     # actual quality gating, and top-K capacity bounds the cost.
     harris_rel_threshold: float = 1e-6
     nms_radius: int = 4             # non-max-suppression radius in pixels
-    max_corners: int = 4096         # static top-K corners per image (mask-padded)
+    # Static top-K corners per image (mask-padded).  Swept on dinoRing-48
+    # (tools/ corner sweep, warm TPU): 4096/2048 -> 3105 tracks @ 1.05 s
+    # SfM+BA; 2048/1024 -> 3109 @ 0.85 s; 1024/512 -> 3075 tracks,
+    # rms 0.302 px, dense 103,504 points @ 0.70 s — quality is flat because
+    # the ratio test + RANSAC + 0.3 px gate saturate first.  Raise for
+    # feature-richer imagery than 640x480 Middlebury rings.
+    max_corners: int = 1024
 
     # Patch descriptors (reference getDescFeatures HarrisFeatures.py:116-133:
     # grayscale square patch of side 2*wid+1, wid=5 -> 11x11).
@@ -42,7 +48,7 @@ class FeatureConfig:
     # we do dense correlation on the MXU with a mutual-nearest + ratio test).
     lowe_ratio: float = 0.8
     min_matches: int = 8            # reference utils.py:193-204 requires >= 8
-    max_matches: int = 2048         # static match capacity per pair (mask-padded)
+    max_matches: int = 512          # static match capacity per pair (mask-padded)
     mutual_check: bool = True
 
 

@@ -32,20 +32,29 @@ def extract_patches(gray, corners, wid: int = 5):
       inbounds: (N, K) bool — corners whose full patch fits in the image.
     """
     n, h, w = gray.shape
+    k = corners.shape[1]
     side = 2 * wid + 1
     x = corners[..., 0]
     y = corners[..., 1]
     inb = (x >= wid) & (x < w - wid) & (y >= wid) & (y < h - wid)
-    dy = jnp.arange(-wid, wid + 1)
-    dx = jnp.arange(-wid, wid + 1)
-    yy = jnp.clip(y[..., None, None] + dy[None, None, :, None], 0, h - 1)
-    xx = jnp.clip(x[..., None, None] + dx[None, None, None, :], 0, w - 1)
+    # Fold (image, row) into one axis and vmap a 2-D dynamic_slice per
+    # corner: TPU gather cost is per-INDEX (~1.1 us/slice, nearly size
+    # independent), so one (side, side) block slice per corner beats the
+    # side*side-element advanced-index gather ~15% at (48, 4096) corners.
+    # An out-of-border corner's slice may cross an image boundary in the
+    # folded layout (defined values, wrong content) — exactly those corners
+    # are flagged ``inb=False`` and masked by the caller; dynamic_slice
+    # clamps starts so the gather itself always stays in bounds.
+    flat = gray.reshape(n * h, w)
+    img = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
+    row = img * h + y.reshape(-1) - wid
+    col = x.reshape(-1) - wid
 
-    def per_image(img, yy_i, xx_i):
-        return img[yy_i, xx_i]  # (K, side, side) advanced-index gather
+    def one(r, c):
+        return jax.lax.dynamic_slice(flat, (r, c), (side, side))
 
-    patches = jax.vmap(per_image)(gray, yy, xx)
-    return patches.reshape(n, -1, side * side).astype(jnp.float32), inb
+    patches = jax.vmap(one)(row, col)
+    return patches.reshape(n, k, side * side).astype(jnp.float32), inb
 
 
 @jax.jit
