@@ -47,10 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mvs_rounds", type=int, default=64)
     p.add_argument("--mvs_round_capacity", type=int, default=16384)
     p.add_argument("--mvs_max_patches", type=int, default=100_000)
-    p.add_argument("--mvs_max_views", type=int, default=5,
+    p.add_argument("--mvs_max_views", type=int, default=-1,
                    help="PMVS-style geometric view gate: NCC-test only this "
                         "many best-aligned views per patch (0 = all views, "
-                        "the reference's exact semantics)")
+                        "the reference's exact semantics; -1 = auto: 5 on "
+                        "rigs with >= 16 images, else 0)")
     p.add_argument("--refine_cameras", action="store_true")
     p.add_argument("--ba_dtype", default=None,
                    help="float32|float64 (default: f64 on cpu, f32 on tpu)")

@@ -120,16 +120,33 @@ class MvsConfig:
     round_capacity: int = 16_384
     # PMVS-style geometric view gate: NCC-sample only the (max_photo_views-1)
     # non-reference views best aligned with the patch normal (0 = score all
-    # views, the reference's exact semantics).  Oblique views fail the NCC
-    # threshold anyway; this cuts the dominant gather sweep ~N/max_photo_views.
+    # views, the reference's exact semantics; -1 = auto, see
+    # resolve_photo_views).  Oblique views fail the NCC threshold anyway;
+    # this cuts the dominant gather sweep ~N/max_photo_views.
     # Measured on dinoRing-48 (tools/prof_v8.py): V=16 -> 102,716 points;
     # V=8 -> 104,570 @ 2.36 s; V=5 -> 103,329 @ 1.66 s with HIGHER mean NCC
-    # (0.934 vs 0.912 — the gate keeps only the best-aligned views).  Raise
-    # this on datasets with sparser angular coverage than a 48-view ring.
-    max_photo_views: int = 5
+    # (0.934 vs 0.912 — the gate keeps only the best-aligned views).  The
+    # V=5 sweet spot was tuned on a dense 48-view ring; on rigs with sparse
+    # or irregular angular coverage the gate could push vis_count below
+    # visible_lower_bound and silently drop valid patches, so auto falls
+    # back to 0 (reference-exact) below 16 images.
+    max_photo_views: int = -1
     # PMVS visibility-consistency outlier filter (reference implements but
     # disables it at MVS2.py:280-281; here it is a cheap vectorized post-pass).
     enable_outlier_filter: bool = False
+
+
+def resolve_photo_views(max_photo_views: int, n_images: int) -> int:
+    """Resolve MvsConfig.max_photo_views against the actual rig size.
+
+    -1 (auto) -> 5 on dense multi-view rigs (>= 16 images, where the
+    geometric view gate was tuned and measured to *raise* mean NCC), else 0
+    (score all views — the reference's exact semantics, MVS2.py:62-77).
+    Explicit values pass through (0 = all views).
+    """
+    if max_photo_views < 0:
+        return 5 if n_images >= 16 else 0
+    return max_photo_views
 
 
 @dataclass(frozen=True)

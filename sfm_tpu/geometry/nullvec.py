@@ -76,6 +76,18 @@ def smallest_eigvec(M, iters: int = 4, eps_rel: float = 1e-6):
     unrolled Cholesky, ``iters`` triangular solves.  Matches eigh's smallest
     eigenvector up to sign for the well-separated spectra produced by DLT /
     8-point normal equations (tested against eigh in float64).
+
+    PRECONDITION (callers must tolerate violations): convergence per step is
+    (lambda_min + eps)/(lambda_2 + eps), so a poorly separated spectrum —
+    degenerate RANSAC minimal samples, near-duplicate cameras in DLT — can
+    leave the result far from the true eigenvector at the default 4 steps.
+    Both call sites are robust by construction: RANSAC *scores* every
+    hypothesis by Sampson inliers (a garbage F from a degenerate sample just
+    loses the vote, sfm/ransac.py), and DLT triangulation runs a Gauss-Newton
+    refine afterwards whose 0.3 px reprojection gate rejects unconverged
+    points (geometry/triangulation.py).  Raise ``iters`` for call sites
+    without such a downstream filter — each extra step is one pair of cheap
+    unrolled triangular solves, fully vectorized over the batch.
     """
     k = M.shape[-1]
     diag = jnp.diagonal(M, axis1=-2, axis2=-1)

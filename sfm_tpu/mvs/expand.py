@@ -172,10 +172,10 @@ def _expansion_round_impl(
     # ~N/V times larger than needed.  Ungated (max_photo_views = 0) the cap
     # degenerates to the full F * N — identical to dense enumeration.
     hit_ok = (f_valid[:, None] & f_vis).reshape(-1)            # (F*N,)
-    v_eff = (
-        min(config.max_photo_views, n_img)
-        if config.max_photo_views > 0 else n_img
-    )
+    from sfm_tpu.config import resolve_photo_views
+
+    photo_views = resolve_photo_views(config.max_photo_views, n_img)
+    v_eff = min(photo_views, n_img) if photo_views > 0 else n_img
     hit_cap = min(F * n_img, F * v_eff)
     (hit_sel,) = jnp.nonzero(
         hit_ok, size=hit_cap, fill_value=hit_ok.shape[0] - 1
@@ -236,7 +236,7 @@ def _expansion_round_impl(
     c_new = _shard_constraint(c_new, mesh)
     vis, proj, score, cnt = photo_consistency(
         gray, K, R, t, c_new, img, config.min_ncc_expand, config.patch_wid,
-        config.max_photo_views,
+        photo_views,
     )
     vis = _shard_constraint(vis, mesh)
     proj = _shard_constraint(proj, mesh)

@@ -162,6 +162,12 @@ def dense_reconstruction(
                     all_vis.append(np.asarray(frontier["vis"])[acc_valid])
                     all_proj.append(np.asarray(frontier["proj"])[acc_valid])
                 total += n_acc
+                # Enforce budgets mid-chunk: with rounds_per_call > 1 the
+                # while-condition alone would overshoot max_rounds /
+                # max_patches by up to chunk-1 rounds.
+                if rounds >= config.max_rounds or total >= config.max_patches:
+                    stop = True
+                    break
             if stop:
                 break
     metrics.record("mvs_rounds", rounds)

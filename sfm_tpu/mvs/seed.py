@@ -91,9 +91,11 @@ def seed_patches(
     dist = jnp.linalg.norm(dvec, axis=-1)
     normal = dvec / jnp.maximum(dist[:, None], 1e-12)
 
+    from sfm_tpu.config import resolve_photo_views
+
     vis, proj, score, cnt = photo_consistency(
         gray, K, R, t, c, ref_img, config.min_ncc_seed, config.patch_wid,
-        config.max_photo_views,
+        resolve_photo_views(config.max_photo_views, gray.shape[0]),
     )
     passing = nondeg & (cnt >= visible_lower_bound)
 

@@ -215,7 +215,17 @@ def detect_corners(
     # spread = (win-1)*(w+1)), making "exactly one peak per window" exact.
     # 22x faster than the argsort-rank formulation on TPU (full sort of
     # N*H*W vs one elementwise pass).
+    # id_bits grows with image width: 13 bits at w=640 (~0.06% worst-case
+    # relative response perturbation), 15 at w~3200 (~0.4%).  Keep >=5
+    # mantissa bits of response (<=18 id bits, ~3% perturbation, widths to
+    # ~29k px) — near the 23-bit f32 mantissa the ordering would break
+    # entirely, so fail loudly long before that.
     id_bits = max(((win - 1) * (w + 1) + 1).bit_length(), 1)
+    assert id_bits <= 18, (
+        f"NMS tie-break id field needs {id_bits} bits for width {w} "
+        f"(nms_radius={nms_radius}); >18 bits would corrupt the bitcast "
+        "response ordering — tile the image or shrink the NMS window"
+    )
     id_mask = jnp.int32((1 << id_bits) - 1)
     pos = jnp.maximum(resp, 0.0) + jnp.float32(1e-30)
     bits = jax.lax.bitcast_convert_type(pos, jnp.int32)
