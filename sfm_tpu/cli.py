@@ -60,7 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma list from {sfm,ba,mvs}")
     p.add_argument("--out_dir", default=".")
     p.add_argument("--checkpoint_dir", default=None,
-                   help="save/resume stage outputs here")
+                   help="save/resume stage outputs here (also enables "
+                        "mid-MVS round-boundary checkpointing)")
+    p.add_argument("--mvs_checkpoint_every", type=int, default=16,
+                   help="persist mid-expansion MVS state every this many "
+                        "rounds (needs --checkpoint_dir)")
     p.add_argument("--mesh_devices", type=int, default=None,
                    help="shard BA over this many devices (default: 1)")
     p.add_argument("--plot", action="store_true",
@@ -250,6 +254,13 @@ def _main(argv=None) -> int:
             dense = dense_reconstruction(
                 images, recon.calib, recon, config.mvs, scale=args.scale,
                 mesh=mvs_mesh,
+                checkpoint_dir=args.checkpoint_dir,
+                checkpoint_every=args.mvs_checkpoint_every,
+            )
+        if dense.metrics.values.get("mvs_resumed_at_round"):
+            print(
+                "resumed MVS expansion from round "
+                f"{dense.metrics.values['mvs_resumed_at_round']}"
             )
         print(f"mvs: {dense.num_seeds} seeds -> {dense.num_points} points "
               f"in {dense.metrics.values['mvs_rounds']} rounds")

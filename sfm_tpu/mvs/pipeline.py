@@ -49,6 +49,31 @@ class DenseReconstruction:
         export_ply(path, self.points, self.colors)
 
 
+def _mvs_fingerprint(images, config, bound, scale) -> str:
+    """Configuration fingerprint guarding mid-MVS checkpoint resumes.
+
+    Budget knobs (max_rounds, max_patches) are deliberately EXCLUDED — a
+    legitimate resume may raise them to continue a finished budget.  Shape /
+    threshold / input knobs must match or the restored occupancy+frontier
+    would be inconsistent with the program.
+    """
+    import zlib
+
+    from sfm_tpu.config import resolve_photo_views
+    from sfm_tpu.io.images import _cache_key
+
+    n, h, w = images.shape[:3]
+    img_crc = _cache_key(images)[1:]  # shape, dtype, ptr(ignored), crc
+    return (
+        f"v1|{n}x{h}x{w}|crc{img_crc[-1]}|cell{config.cell_size}"
+        f"|wid{config.patch_wid}|ncc{config.min_ncc_seed}/{config.min_ncc_expand}"
+        f"|bound{bound}|cap{config.round_capacity}"
+        f"|views{resolve_photo_views(config.max_photo_views, n)}"
+        f"|cop{config.coplanarity_threshold}|rad{config.neighbor_radius_scaled}"
+        f"|scale{scale}|filter{int(config.enable_outlier_filter)}"
+    )
+
+
 def dense_reconstruction(
     images: np.ndarray,
     calib: Calibration,
@@ -56,12 +81,24 @@ def dense_reconstruction(
     config: MvsConfig = MvsConfig(),
     scale: float = 1.0,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 16,
 ) -> DenseReconstruction:
     """Run patch-based MVS from SfM tracks.
 
     With ``mesh`` (1-D, axis "data") the expansion rounds shard their
     candidate batches across devices (see mvs.expand._make_round_program).
+
+    With ``checkpoint_dir``, the expansion loop persists its full state
+    (occupancy, frontier, backlog, accumulated cloud, counters) every
+    ``checkpoint_every`` rounds and resumes from it on the next call — a
+    crash in the longest stage (the reference's 23.6 h BFS, MVS2.py:321)
+    costs at most ``checkpoint_every`` rounds, and the resumed run produces
+    the identical cloud (deterministic device programs + exact state
+    round-trip; tests/test_cli.py kill-and-resume test).
     """
+    from sfm_tpu.utils import checkpoint as ckpt
+
     timers = StageTimer()
     metrics = Metrics()
     n, h, w = images.shape[0], images.shape[1], images.shape[2]
@@ -74,34 +111,71 @@ def dense_reconstruction(
     centers_cam = jnp.asarray(calib.centers.astype(np.float32))
     occupancy = make_occupancy(n, h, w, config.cell_size)
 
-    with timers.stage("seed"):
-        track_id, ref_obs, other_obs = build_seed_candidates(
-            recon.track_offsets, recon.track_obs
-        )
-        seeds, occupancy, seed_packed = seed_patches(
-            gray, K, R, t, centers_cam,
-            jnp.asarray(track_id), jnp.asarray(ref_obs), jnp.asarray(other_obs),
-            recon.num_tracks, occupancy, config, bound,
-        )
-        # ONE device->host fetch for the whole seed stage; colors are
-        # sampled host-side from the original images (unpack_patch_payload).
-        seed_valid, s_c, s_n, s_score, s_color = unpack_patch_payload(
-            np.asarray(seed_packed), images
-        )
-        n_seeds = int(seed_valid.sum())
-        metrics.record("mvs_num_seeds", n_seeds)
-
-    # vis (M, N) and proj (M, N, 2) are ~10x the bytes of everything else a
-    # round produces; only the (off-by-default) visibility outlier filter
-    # consumes them on the host, so only fetch them when it is enabled —
-    # the frontier itself stays on device either way.
     fetch_visproj = config.enable_outlier_filter
-    all_c = [s_c[seed_valid]]
-    all_n = [s_n[seed_valid]]
-    all_score = [s_score[seed_valid]]
-    all_color = [s_color[seed_valid]]
-    all_vis = [np.asarray(seeds["vis"])[seed_valid]] if fetch_visproj else []
-    all_proj = [np.asarray(seeds["proj"])[seed_valid]] if fetch_visproj else []
+    fingerprint = (
+        _mvs_fingerprint(images, config, bound, scale) if checkpoint_dir else ""
+    )
+    state = ckpt.load_mvs_state(checkpoint_dir)
+    resumed = state is not None
+    if resumed:
+        saved_fp = str(state["fingerprint"])
+        if saved_fp != fingerprint:
+            raise ValueError(
+                f"MVS checkpoint in {checkpoint_dir} was written with a "
+                f"different configuration/input ({saved_fp!r} != "
+                f"{fingerprint!r}); delete {ckpt.MVS_STATE_FILE} to restart"
+            )
+        occupancy = jnp.asarray(state["occupancy"])
+        frontier = {
+            k: jnp.asarray(state["f_" + k])
+            for k in ("c", "n", "vis", "proj", "valid")
+        }
+        backlog = None
+        if "b_c" in state:
+            backlog = {
+                k: state["b_" + k]
+                for k in ("c", "n", "vis", "proj", "valid")
+            }
+        total, rounds, dropped_candidates, n_seeds = (
+            int(x) for x in state["counters"]
+        )
+        all_c = [state["acc_c"]]
+        all_n = [state["acc_n"]]
+        all_score = [state["acc_score"]]
+        all_color = [state["acc_color"]]
+        all_vis = [state["acc_vis"]] if fetch_visproj else []
+        all_proj = [state["acc_proj"]] if fetch_visproj else []
+        metrics.record("mvs_num_seeds", n_seeds)
+        metrics.record("mvs_resumed_at_round", rounds)
+
+    if not resumed:
+        with timers.stage("seed"):
+            track_id, ref_obs, other_obs = build_seed_candidates(
+                recon.track_offsets, recon.track_obs
+            )
+            seeds, occupancy, seed_packed = seed_patches(
+                gray, K, R, t, centers_cam,
+                jnp.asarray(track_id), jnp.asarray(ref_obs), jnp.asarray(other_obs),
+                recon.num_tracks, occupancy, config, bound,
+            )
+            # ONE device->host fetch for the whole seed stage; colors are
+            # sampled host-side from the original images (unpack_patch_payload).
+            seed_valid, s_c, s_n, s_score, s_color = unpack_patch_payload(
+                np.asarray(seed_packed), images
+            )
+            n_seeds = int(seed_valid.sum())
+            metrics.record("mvs_num_seeds", n_seeds)
+
+        # vis (M, N) and proj (M, N, 2) are ~10x the bytes of everything else
+        # a round produces; only the (off-by-default) visibility outlier
+        # filter consumes them on the host, so only fetch them when it is
+        # enabled — the frontier itself stays on device either way.
+        all_c = [s_c[seed_valid]]
+        all_n = [s_n[seed_valid]]
+        all_score = [s_score[seed_valid]]
+        all_color = [s_color[seed_valid]]
+        all_vis = [np.asarray(seeds["vis"])[seed_valid]] if fetch_visproj else []
+        all_proj = [np.asarray(seeds["proj"])[seed_valid]] if fetch_visproj else []
 
     # The expansion frontier consumes exactly these fields; seed dicts carry
     # extras (ref, score) that must not leak into backlog bookkeeping.
@@ -174,13 +248,40 @@ def dense_reconstruction(
                 }
         return fr, rest
 
-    total = n_seeds
-    frontier, backlog = _split_frontier(seeds, config.round_capacity)
-    if backlog:
-        metrics.record("mvs_seed_frontier_deferred", int(backlog["c"].shape[0]))
-    dropped_candidates = 0
-    rounds = 0
+    if not resumed:
+        total = n_seeds
+        frontier, backlog = _split_frontier(seeds, config.round_capacity)
+        if backlog:
+            metrics.record(
+                "mvs_seed_frontier_deferred", int(backlog["c"].shape[0])
+            )
+        dropped_candidates = 0
+        rounds = 0
     cap = config.round_capacity
+
+    def _save_state():
+        st = {
+            "fingerprint": np.asarray(fingerprint),
+            "occupancy": np.asarray(occupancy),
+            "counters": np.asarray(
+                [total, rounds, dropped_candidates, n_seeds], np.int64
+            ),
+            "acc_c": np.concatenate(all_c).astype(np.float32),
+            "acc_n": np.concatenate(all_n).astype(np.float32),
+            "acc_score": np.concatenate(all_score).astype(np.float32),
+            "acc_color": np.concatenate(all_color),
+        }
+        for k in ("c", "n", "vis", "proj", "valid"):
+            st["f_" + k] = np.asarray(frontier[k])
+        if backlog:
+            for k in ("c", "n", "vis", "proj", "valid"):
+                st["b_" + k] = np.asarray(backlog[k])
+        if fetch_visproj:
+            st["acc_vis"] = np.concatenate(all_vis)
+            st["acc_proj"] = np.concatenate(all_proj).astype(np.float32)
+        ckpt.save_mvs_state(checkpoint_dir, st)
+
+    last_ckpt_rounds = rounds
     # vis/proj of intermediate rounds only exist on device inside the
     # chunked program, so the outlier filter (which consumes them on host)
     # forces single-round programs; the default path chunks 2 rounds per
@@ -227,8 +328,16 @@ def dense_reconstruction(
                 if rounds >= config.max_rounds or total >= config.max_patches:
                     stop = True
                     break
+            if checkpoint_dir and (
+                rounds - last_ckpt_rounds >= checkpoint_every
+            ):
+                _save_state()
+                last_ckpt_rounds = rounds
             if stop:
                 break
+    if checkpoint_dir:
+        # Completed: the mid-run state is superseded by the stage output.
+        ckpt.clear_mvs_state(checkpoint_dir)
     metrics.record("mvs_rounds", rounds)
     metrics.record("mvs_num_points", total)
     if backlog:

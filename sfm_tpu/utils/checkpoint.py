@@ -1,10 +1,15 @@
 """Stage checkpointing / resume.
 
 The reference keeps everything in RAM; a crash during its hours-long MVS
-loses all SfM+BA work (SURVEY.md §5 "Checkpoint / resume": absent).  Here
-each stage boundary (tracks after SfM, refined points after BA, dense cloud)
-serializes to a single ``.npz`` so any stage can restart from the previous
-one — the natural boundaries are the reference's main.py:29-30 seams.
+loses all SfM+BA work (SURVEY.md §5 "Checkpoint / resume": absent; the
+corresponding reference stage is the 100k-iteration BFS at MVS2.py:321,
+measured at ~23.6 h).  Here each stage boundary (tracks after SfM, refined
+points after BA, dense cloud) serializes to a single ``.npz`` so any stage
+can restart from the previous one — the natural boundaries are the
+reference's main.py:29-30 seams — and the MVS stage additionally
+checkpoints MID-EXPANSION (occupancy + frontier + backlog + accumulated
+cloud every K rounds, see mvs.pipeline), so a crash in the longest stage
+resumes from the last round boundary instead of recomputing.
 """
 
 from __future__ import annotations
@@ -57,3 +62,47 @@ def try_resume(ckpt_dir: Optional[str], stage: str):
     if os.path.exists(p):
         return load_sparse(p)
     return None
+
+
+# ---------------------------------------------------------------------------
+# Mid-MVS expansion state (round-boundary checkpointing)
+# ---------------------------------------------------------------------------
+
+MVS_STATE_FILE = "mvs_state.npz"
+
+
+def save_mvs_state(ckpt_dir: str, state: dict) -> None:
+    """Atomically persist mid-expansion MVS state.
+
+    ``state`` maps flat string keys to numpy arrays / scalars (the pipeline
+    flattens its frontier/backlog dicts with ``f_``/``b_`` prefixes).  Write
+    to a temp file + rename so a crash mid-save never corrupts the previous
+    checkpoint.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, MVS_STATE_FILE)
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **state)
+    # numpy appends .npz to names without it
+    if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
+        tmp = tmp + ".npz"
+    os.replace(tmp, path)
+
+
+def load_mvs_state(ckpt_dir: Optional[str]) -> Optional[dict]:
+    """Return the mid-expansion state dict if a checkpoint exists."""
+    if not ckpt_dir:
+        return None
+    path = os.path.join(ckpt_dir, MVS_STATE_FILE)
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def clear_mvs_state(ckpt_dir: Optional[str]) -> None:
+    if not ckpt_dir:
+        return
+    path = os.path.join(ckpt_dir, MVS_STATE_FILE)
+    if os.path.exists(path):
+        os.remove(path)

@@ -420,3 +420,88 @@ class TestFrontierOverflow:
             imgs, cal, recon,
             MvsConfig(round_capacity=4096, max_rounds=2), scale=10.0)
         assert "mvs_seed_frontier_deferred" not in d.metrics.values
+
+
+class TestMvsCheckpoint:
+    """Mid-expansion checkpoint/resume (VERDICT r1 item 5): a killed MVS run
+    resumes from the last round boundary and produces the IDENTICAL cloud."""
+
+    @pytest.fixture(scope="class")
+    def recon8(self, dino_images_cls, dino_calib_cls):
+        from sfm_tpu.sfm import structure_from_motion
+
+        imgs, _ = dino_images_cls
+        cal = dino_calib_cls.subset(range(8))
+        cfg = PipelineConfig(
+            features=FeatureConfig(max_corners=1024, max_matches=512))
+        return imgs, cal, structure_from_motion(imgs, cal, cfg)
+
+    def test_kill_and_resume_identical_cloud(self, recon8, tmp_path,
+                                             monkeypatch):
+        import sfm_tpu.mvs.pipeline as mp
+
+        imgs, cal, recon = recon8
+        cfg = MvsConfig(round_capacity=1024, max_rounds=10, max_patches=9000)
+        ckpt_dir = str(tmp_path / "ckpt")
+
+        # Ground truth: uninterrupted run, no checkpointing.
+        full = dense_reconstruction(imgs, cal, recon, cfg, scale=10.0)
+
+        # Interrupted run: kill (raise) on the 4th expansion program call;
+        # checkpoint_every=2 with chunk=2 saves after every call.
+        real_round = mp.expansion_round
+        calls = {"n": 0}
+
+        def killing_round(*a, **k):
+            calls["n"] += 1
+            if calls["n"] >= 4:
+                raise RuntimeError("simulated crash")
+            return real_round(*a, **k)
+
+        monkeypatch.setattr(mp, "expansion_round", killing_round)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            dense_reconstruction(imgs, cal, recon, cfg, scale=10.0,
+                                 checkpoint_dir=ckpt_dir, checkpoint_every=2)
+        monkeypatch.setattr(mp, "expansion_round", real_round)
+        assert (tmp_path / "ckpt" / "mvs_state.npz").exists()
+
+        resumed = dense_reconstruction(imgs, cal, recon, cfg, scale=10.0,
+                                       checkpoint_dir=ckpt_dir,
+                                       checkpoint_every=2)
+        assert resumed.metrics.values.get("mvs_resumed_at_round", 0) > 0
+        assert resumed.num_seeds == full.num_seeds
+        assert resumed.num_points == full.num_points
+        np.testing.assert_array_equal(resumed.points, full.points)
+        np.testing.assert_array_equal(resumed.colors, full.colors)
+        np.testing.assert_array_equal(resumed.normals, full.normals)
+        # Completion clears the mid-run state.
+        assert not (tmp_path / "ckpt" / "mvs_state.npz").exists()
+
+    def test_fingerprint_mismatch_rejected(self, recon8, tmp_path,
+                                           monkeypatch):
+        import sfm_tpu.mvs.pipeline as mp
+
+        imgs, cal, recon = recon8
+        ckpt_dir = str(tmp_path / "ckpt2")
+        cfg = MvsConfig(round_capacity=1024, max_rounds=6)
+
+        real_round = mp.expansion_round
+        calls = {"n": 0}
+
+        def killing_round(*a, **k):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("simulated crash")
+            return real_round(*a, **k)
+
+        monkeypatch.setattr(mp, "expansion_round", killing_round)
+        with pytest.raises(RuntimeError):
+            dense_reconstruction(imgs, cal, recon, cfg, scale=10.0,
+                                 checkpoint_dir=ckpt_dir, checkpoint_every=1)
+        monkeypatch.setattr(mp, "expansion_round", real_round)
+        # Different cell_size -> incompatible occupancy shapes -> refuse.
+        with pytest.raises(ValueError, match="different configuration"):
+            dense_reconstruction(
+                imgs, cal, recon,
+                MvsConfig(round_capacity=1024, max_rounds=6, cell_size=4),
+                scale=10.0, checkpoint_dir=ckpt_dir, checkpoint_every=1)
