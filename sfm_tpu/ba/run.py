@@ -86,6 +86,15 @@ def bundle_adjust(
         "refined_cameras": bool(config.refine_cameras),
         "timers": timers.times,
     }
+    # Internal optimum rms: per-observation error against the REFINED
+    # parameter set (cost = 0.5 * sum r^2 over 2*n_obs components).  With
+    # refine_cameras this is the apples-to-apples reading against the
+    # reference's own scipy-TRF residual (its refined cameras are discarded
+    # at SFM.py:181-183, so its against-calibration error is far worse —
+    # see QUALITY.md).
+    info["rms_reproj_refined_px"] = float(
+        np.sqrt(2.0 * info["final_cost"] / max(problem.num_observations, 1))
+    )
     if config.refine_cameras:
         info["cams11"] = cams
     recon.metrics.record("ba_final_cost", info["final_cost"])

@@ -172,8 +172,15 @@ def _main(argv=None) -> int:
         else:
             from sfm_tpu.sfm import structure_from_motion
 
+            sfm_mesh = None
+            if args.mesh_devices and args.mesh_devices > 1:
+                from sfm_tpu.parallel.mesh import data_mesh
+
+                sfm_mesh = data_mesh(num_devices=args.mesh_devices)
             with timers.stage("sfm"):
-                recon = structure_from_motion(images, calib, config)
+                recon = structure_from_motion(
+                    images, calib, config, mesh=sfm_mesh
+                )
             if args.checkpoint_dir:
                 ckpt.save_sparse(ckpt.stage_path(args.checkpoint_dir, "sfm"),
                                  recon)

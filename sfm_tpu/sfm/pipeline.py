@@ -111,15 +111,48 @@ import functools
 
 
 @functools.lru_cache(maxsize=16)
-def _make_pair_program(config: PipelineConfig, num_matches: int):
-    """Compiled all-pairs program, cached per config.
+def _make_pair_program(config: PipelineConfig, num_matches: int, mesh=None):
+    """Compiled all-pairs program, cached per config (and mesh).
 
     The step closure and its ``lax.map`` wrapper are built ONCE per config:
     a fresh closure per pipeline call would miss jit's cache and re-trace
     the whole pair program on every invocation (seconds per run on TPU).
+
+    With ``mesh`` the stacked pair axis is partitioned over the "data" axis
+    via shard_map — pairs are embarrassingly parallel (the reference's hot
+    loop, SFM.py:58-84, has no cross-pair interaction), so each device runs
+    the identical per-pair program on its slice and results are exactly
+    those of the single-device map.
     """
     step = _make_pair_step(config, num_matches)
-    return jax.jit(lambda args: jax.lax.map(step, args))
+    local = lambda args: jax.lax.map(step, args)  # noqa: E731
+    if mesh is None:
+        return jax.jit(local)
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    return jax.jit(
+        shard_map(local, mesh=mesh, in_specs=P("data"), out_specs=P("data"))
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _make_feature_program(config, use_pallas, mesh=None):
+    """Feature detection program, optionally sharded over the image axis.
+
+    Per-image work only (Harris + NMS + top-K + patch extraction), so the
+    batch partition is semantics-preserving; shard_map (rather than GSPMD
+    auto-partitioning) keeps the Pallas Harris kernel a per-device call.
+    """
+    fn = lambda g: detect_and_describe(g, config, use_pallas=use_pallas)  # noqa: E731
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    return jax.jit(
+        shard_map(fn, mesh=mesh, in_specs=P("data"), out_specs=P("data"))
+    )
 
 
 def _make_pair_step(config: PipelineConfig, num_matches: int):
@@ -177,12 +210,17 @@ def structure_from_motion(
     calib: Calibration,
     config: PipelineConfig = PipelineConfig(),
     track_store: Optional[TrackStore] = None,
+    mesh=None,
 ) -> SparseReconstruction:
     """Run sparse SfM over an image stack with known calibration.
 
     Like the reference (SFM.py:62-63), camera poses come straight from the
     calibration file — no pose estimation; RANSAC's job is match outlier
     rejection only.
+
+    With ``mesh`` (1-D, axis "data") feature detection shards over images
+    and the pair program shards over pairs (both embarrassingly parallel);
+    results are identical to single-device (tests/test_sharded.py).
     """
     timers = StageTimer()
     metrics = Metrics()
@@ -192,16 +230,29 @@ def structure_from_motion(
             f"{n} images but only {calib.num_views} calibrated cameras"
         )
     pairs = pair_schedule(n, config.sfm.pair_mode)
+    n_pairs = len(pairs)
     ia = np.asarray([p[0] for p in pairs])
     ib = np.asarray([p[1] for p in pairs])
+    n_dev = mesh.size if mesh is not None else 1
+    if mesh is not None:
+        # Static-shape padding to a multiple of the mesh (dummy rows are
+        # masked invalid and sliced off after the fetch).
+        pad_pairs = (-n_pairs) % n_dev
+        ia = np.concatenate([ia, np.zeros(pad_pairs, ia.dtype)])
+        ib = np.concatenate([ib, np.zeros(pad_pairs, ib.dtype)])
 
     with timers.stage("features"):
         # Ship uint8 to the device and convert there: 4x less H2D traffic
         # (material over a remote-TPU tunnel) and the conversion fuses.
         gray = device_gray(images)
-        fs: FeatureSet = detect_and_describe(
-            gray, config.features, use_pallas=config.runtime.use_pallas
+        feat_mesh = mesh if (mesh is not None and n % n_dev == 0) else None
+        use_pallas = config.runtime.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        run_features = _make_feature_program(
+            config.features, use_pallas, feat_mesh
         )
+        fs: FeatureSet = run_features(gray)
         jax.block_until_ready(fs.descriptors)
 
     with timers.stage("pair_geometry"):
@@ -210,18 +261,28 @@ def structure_from_motion(
         t = jnp.asarray(calib.t.astype(np.float32))
         P = projection_matrix(K, R, t)
         keys = jax.random.split(
-            jax.random.PRNGKey(config.runtime.seed), len(pairs)
+            jax.random.PRNGKey(config.runtime.seed), len(ia)
         )
-        run_pairs = _make_pair_program(config, config.features.max_matches)
+        run_pairs = _make_pair_program(
+            config, config.features.max_matches, mesh
+        )
+        val_a, val_b = fs.valid[ia], fs.valid[ib]
+        if mesh is not None and len(ia) > n_pairs:
+            real = (jnp.arange(len(ia)) < n_pairs)[:, None]
+            val_a, val_b = val_a & real, val_b & real
         args = (
-            fs.descriptors[ia], fs.valid[ia], fs.corners[ia],
-            fs.descriptors[ib], fs.valid[ib], fs.corners[ib],
+            fs.descriptors[ia], val_a, fs.corners[ia],
+            fs.descriptors[ib], val_b, fs.corners[ib],
             P[ia], P[ib],
             K[ia], R[ia], t[ia], K[ib], R[ib], t[ib],
             keys,
         )
         (p1, p2, X, ok, n_match, n_inl, n_gate, err_sum, F) = run_pairs(args)
         jax.block_until_ready(ok)
+        if len(ia) > n_pairs:  # drop padded pair rows
+            p1, p2, X, ok = p1[:n_pairs], p2[:n_pairs], X[:n_pairs], ok[:n_pairs]
+            n_match, n_inl = n_match[:n_pairs], n_inl[:n_pairs]
+            n_gate, err_sum, F = n_gate[:n_pairs], err_sum[:n_pairs], F[:n_pairs]
 
     with timers.stage("tracks"):
         store = track_store or TrackStore(config.sfm.track_merge_threshold)
