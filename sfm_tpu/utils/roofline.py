@@ -1,0 +1,208 @@
+"""Roofline / MFU accounting for the engine's dominant kernels.
+
+VERDICT r1 item 2: wall times alone cannot say whether a stage is fast or
+merely faster-than-interpreted-Python.  This module counts analytic FLOPs
+and HBM bytes for the three dominant device kernels and times each in
+isolation at bench shapes, reporting achieved vs. peak:
+
+- matcher matmul (features/matching.py): K x K x D descriptor correlation
+  per pair on the MXU, bf16 inputs / f32 accumulation -> MFU vs. bf16 peak.
+- photo-consistency sweep (mvs/photoconsistency.py): per candidate x view,
+  one bilinearly-interpolated (2w+1)^2 patch gather + normalize + NCC dot.
+  On TPU the cost is GATHER-RATE bound, not FLOP bound: vmap(dynamic_slice)
+  costs ~1.1 us per index almost independent of slice size (measured,
+  CLAUDE.md), so the meaningful roofline is achieved candidate-view
+  samples/s against a measured pure-gather ceiling, plus useful patch
+  bytes/s against HBM bandwidth (a lower bound on true traffic — bilinear
+  touches up to 4 neighbors per texel and XLA materializes intermediates).
+- Harris response (ops/harris.py): stencil over the image stack —
+  bandwidth bound; bytes = read + write of the (N, H, W) f32 stack.
+
+Peak numbers come from the device kind; unknown devices report achieved
+absolute rates with null utilization instead of guessing.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+
+# (bf16 TFLOP/s, f32 TFLOP/s, HBM GB/s) per chip. v5e: 197 bf16 TFLOPs,
+# 819 GB/s HBM (public spec); v4: 275/1228; v6e: 918/1640.
+_PEAKS = {
+    "TPU v5 lite": (197e12, 98.5e12, 819e9),
+    "TPU v5e": (197e12, 98.5e12, 819e9),
+    "TPU v4": (275e12, 137.5e12, 1228e9),
+    "TPU v6 lite": (918e12, 459e12, 1640e9),
+    "TPU v6e": (918e12, 459e12, 1640e9),
+}
+
+
+def device_peaks(kind: str):
+    for k, v in _PEAKS.items():
+        if kind.startswith(k):
+            return v
+    return (None, None, None)
+
+
+def _timeit(fn, iters: int = 10) -> float:
+    """Median-of-iters wall time; syncs via a small host fetch (the axon
+    remote link makes block_until_ready misleading — CLAUDE.md)."""
+    out = fn()
+    np.asarray(out)  # compile + sync
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn()
+        np.asarray(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def matcher_roofline(n_pairs=47, k=1024, d=121, iters=10) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_tpu.ops.ncc import ncc_scores
+
+    rng = np.random.default_rng(0)
+    d1 = jnp.asarray(rng.standard_normal((n_pairs, k, d)), jnp.float32)
+    d2 = jnp.asarray(rng.standard_normal((n_pairs, k, d)), jnp.float32)
+    f = jax.jit(lambda a, b: jax.vmap(ncc_scores)(a, b).sum())
+    t = _timeit(lambda: f(d1, d2), iters)
+    flops = 2.0 * n_pairs * k * k * d
+    peak_bf16, _, peak_bw = device_peaks(jax.devices()[0].device_kind)
+    return {
+        "shape": f"{n_pairs}x{k}x{k}x{d}",
+        "time_s": t,
+        "tflops_achieved": flops / t / 1e12,
+        "mfu": (flops / t / peak_bf16) if peak_bf16 else None,
+    }
+
+
+def gather_ceiling(n_slices=81920, h=480, w=640, side=12, iters=5) -> dict:
+    """Measured pure vmap(dynamic_slice) rate — the photo-consistency
+    sweep's hardware ceiling on TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((h, w)), jnp.bfloat16)
+    iy = jnp.asarray(rng.integers(0, h - side, n_slices), jnp.int32)
+    ix = jnp.asarray(rng.integers(0, w - side, n_slices), jnp.int32)
+
+    def gather(iy, ix):
+        sl = jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(img, (y, x), (side, side))
+        )(iy, ix)
+        return sl.astype(jnp.float32).sum()
+
+    f = jax.jit(gather)
+    t = _timeit(lambda: f(iy, ix), iters)
+    return {
+        "n_slices": n_slices,
+        "time_s": t,
+        "slices_per_s": n_slices / t,
+        "us_per_slice": t / n_slices * 1e6,
+    }
+
+
+def photoconsistency_roofline(
+    m=16384, n_img=48, h=480, w=640, wid=5, max_views=5, iters=5,
+    ceiling: Optional[dict] = None,
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_tpu.mvs.photoconsistency import photo_consistency
+
+    rng = np.random.default_rng(0)
+    gray = jnp.asarray(rng.random((n_img, h, w)) * 255, jnp.float32)
+    K = jnp.asarray(
+        np.tile(
+            np.asarray([[3310.0, 0, w / 2], [0, 3310.0, h / 2], [0, 0, 1]],
+                       np.float32),
+            (n_img, 1, 1),
+        )
+    )
+    R = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (n_img, 1, 1)))
+    t_v = jnp.asarray(
+        np.tile(np.asarray([0, 0, 0.6], np.float32), (n_img, 1))
+    )
+    centers = jnp.asarray(
+        rng.standard_normal((m, 3)).astype(np.float32) * 0.01
+    )
+    ref = jnp.asarray(rng.integers(0, n_img, m), jnp.int32)
+
+    def run():
+        vis, proj, s, c = photo_consistency(
+            gray, K, R, t_v, centers, ref, 0.7, wid, max_views
+        )
+        return c.sum()
+
+    t = _timeit(run, iters)
+    v_eff = max_views if 0 < max_views < n_img else n_img
+    samples = m * v_eff
+    side2 = (2 * wid + 1) ** 2
+    useful_bytes = samples * side2 * 2  # bf16 patch texels actually consumed
+    _, _, peak_bw = device_peaks(jax.devices()[0].device_kind)
+    out = {
+        "shape": f"M={m} V={v_eff} of N={n_img} {h}x{w} wid={wid}",
+        "time_s": t,
+        "samples_per_s": samples / t,
+        "us_per_sample": t / samples * 1e6,
+        "useful_gb_per_s": useful_bytes / t / 1e9,
+        "hbm_util_lower_bound": (useful_bytes / t / peak_bw)
+        if peak_bw else None,
+    }
+    if ceiling:
+        out["gather_ceiling_us_per_slice"] = ceiling["us_per_slice"]
+        out["gather_ceiling_util"] = (
+            ceiling["us_per_slice"] / out["us_per_sample"]
+        )
+    return out
+
+
+def harris_roofline(n_img=48, h=480, w=640, iters=10, use_pallas=None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_tpu.ops.harris import harris_response
+
+    rng = np.random.default_rng(0)
+    gray = jnp.asarray(rng.random((n_img, h, w)) * 255, jnp.float32)
+    f = jax.jit(
+        lambda g: harris_response(g, use_pallas=use_pallas).sum()
+    )
+    t = _timeit(lambda: f(gray), iters)
+    # Minimum traffic: read the stack once, write the response once (f32).
+    bytes_moved = 2 * n_img * h * w * 4
+    _, _, peak_bw = device_peaks(jax.devices()[0].device_kind)
+    return {
+        "shape": f"{n_img}x{h}x{w}",
+        "time_s": t,
+        "gb_per_s": bytes_moved / t / 1e9,
+        "hbm_util": (bytes_moved / t / peak_bw) if peak_bw else None,
+    }
+
+
+def full_report(iters: int = 5) -> dict:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    peaks = device_peaks(kind)
+    ceiling = gather_ceiling(iters=iters)
+    return {
+        "device": kind,
+        "peak_bf16_tflops": peaks[0] / 1e12 if peaks[0] else None,
+        "peak_hbm_gbps": peaks[2] / 1e9 if peaks[2] else None,
+        "matcher": matcher_roofline(iters=iters),
+        "gather_ceiling": ceiling,
+        "photoconsistency": photoconsistency_roofline(
+            iters=iters, ceiling=ceiling
+        ),
+        "harris": harris_roofline(iters=iters),
+    }
