@@ -59,6 +59,11 @@ def main():
     ap.add_argument("--warm", type=int, default=1,
                     help="timed runs after the cold (compile) run")
     ap.add_argument("--data", default="/root/reference/dinoRing")
+    ap.add_argument("--no-roofline", action="store_true",
+                    help="skip the MFU/bandwidth kernel accounting")
+    ap.add_argument("--refine_cameras", action="store_true",
+                    help="run the joint Schur+PCG camera path instead of "
+                         "the reference-equivalent frozen-camera solve")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +79,10 @@ def main():
     scale = 10.0  # reference run.sh invocation
 
     config = PipelineConfig(
-        ba=BaConfig(dtype="float32" if backend == "tpu" else "float64"),
+        ba=BaConfig(
+            dtype="float32" if backend == "tpu" else "float64",
+            refine_cameras=args.refine_cameras,
+        ),
         mvs=MvsConfig(),
     )
 
@@ -120,7 +128,20 @@ def main():
         "tracks": recon.num_tracks,
         "rms_reproj_px": round(recon.rms_reprojection_error(), 4),
         "dense_points": dense_points,
+        "refine_cameras": args.refine_cameras,
     }
+    if not args.no_roofline:
+        from sfm_tpu.utils.roofline import full_report
+
+        rep = full_report(iters=5)
+        # Compact rounding for the one-line JSON contract.
+        def _r(x):
+            if isinstance(x, dict):
+                return {k: _r(v) for k, v in x.items()}
+            if isinstance(x, float):
+                return round(x, 6 if abs(x) < 1 else 3)
+            return x
+        result["roofline"] = _r(rep)
     print(json.dumps(result))
 
 

@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "the reference's exact semantics; -1 = auto: 5 on "
                         "rigs with >= 16 images, else 0)")
     p.add_argument("--refine_cameras", action="store_true")
+    p.add_argument("--enable_outlier_filter", action="store_true",
+                   help="PMVS visibility-consistency outlier post-pass "
+                        "(the reference implements but disables it as 'very "
+                        "very slow', MVS2.py:280-281; here it is a cheap "
+                        "vectorized exact-pairwise pass, off by default to "
+                        "match reference output)")
     p.add_argument("--ba_dtype", default=None,
                    help="float32|float64 (default: f64 on cpu, f32 on tpu)")
     # Orchestration.
@@ -114,6 +120,7 @@ def config_from_args(args):
             round_capacity=args.mvs_round_capacity,
             max_patches=args.mvs_max_patches,
             max_photo_views=args.mvs_max_views,
+            enable_outlier_filter=args.enable_outlier_filter,
         ),
         runtime=RuntimeConfig(
             mesh_shape=args.mesh_devices,

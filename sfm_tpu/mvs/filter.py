@@ -2,16 +2,21 @@
 
 The reference implements PMVS's outlier filter but ships it disabled as
 "very very slow" (CellTable.filter_out_outlier, MVS2.py:132-158, call site
-disabled at MVS2.py:280-281): per occupied cell, a patch is an outlier if a
-non-neighboring patch shares the cell and the patch's support
+disabled at MVS2.py:280-281): per cell, a patch p2 is an outlier if ANY
+other patch p1 sharing the cell is non-neighboring with it
+(|d.n1 + d.n2| >= 0.2, is_patch_neighbor MVS2.py:298) AND p2's support
 (visible_count * avg_ncc) falls below the cell's mean (1 - avg_ncc).
 
-Vectorized formulation over the (patch, hit-cell) incidence list with one
-deliberate simplification: the reference tests every patch PAIR in a cell
-(quadratic); here each patch is tested against the cell's best-scoring patch
-— the witness that matters, since any patch non-neighboring with some patch
-in the cell is, in the overwhelming case, non-neighboring with the dominant
-one.  Cost is linear in total visible hits.
+This is the reference's EXACT pairwise rule, vectorized: incidences are
+grouped by cell, each group padded to the cell-occupancy maximum, and the
+pairwise planarity test runs as a batched (cells, G, G) computation in
+chunks of cells (G is small — a handful of patches share a cell — so the
+quadratic term is trivial; the reference's slowness was interpreted-Python
+quadruple loops over every cell of every image, not the math).
+
+Deviation note: the reference only filters cells whose occupancy bit is
+False — an artifact of its accepted-patch-never-occupies-own-cell bug (see
+PARITY.md); here the rule applies to every cell a patch hits.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ def filter_outliers(
     grid_w: int,
     grid_h: int,
     neighbor_threshold: float = 0.2,   # is_patch_neighbor default, MVS2.py:298
+    cell_chunk: int = 8192,
 ) -> np.ndarray:
     """Return a keep-mask (D,) bool."""
     d, n = vis.shape
@@ -42,28 +48,53 @@ def filter_outliers(
     py = np.clip((proj[pid, img, 1] // cell_size).astype(np.int64), 0, grid_h - 1)
     cell = (img.astype(np.int64) * grid_w + px) * grid_h + py
 
-    # Compact cell ids.
-    uniq, cell_c = np.unique(cell, return_inverse=True)
+    # Group incidences by cell.
+    order = np.argsort(cell, kind="stable")
+    pid_s = pid[order]
+    cell_s = cell[order]
+    uniq, starts, cnt = np.unique(cell_s, return_index=True, return_counts=True)
     n_cells = len(uniq)
 
-    # Per-cell stats: count, mean(1 - score), best patch by score.
-    cnt = np.bincount(cell_c, minlength=n_cells)
-    thr = np.bincount(cell_c, weights=(1.0 - scores[pid]), minlength=n_cells)
-    thr = thr / np.maximum(cnt, 1)
-    order = np.argsort(scores[pid], kind="stable")
-    best = np.zeros(n_cells, np.int64)
-    best[cell_c[order]] = pid[order]  # last write wins = max score
+    # Per-cell support threshold: mean(1 - score) over the cell's patches
+    # (includes the candidate itself, like the reference, MVS2.py:139-141).
+    inv = np.repeat(np.arange(n_cells), cnt)
+    thr = np.bincount(inv, weights=(1.0 - scores[pid_s])) / cnt
 
-    q = best[cell_c]                       # witness patch per incidence
-    dvec = points[pid] - points[q]
-    planarity = np.abs(
-        np.einsum("ij,ij->i", dvec, normals[pid])
-        + np.einsum("ij,ij->i", dvec, normals[q])
-    )
-    non_neighbor = (planarity >= neighbor_threshold) & (q != pid)
-    weak = vis_ct[pid] * scores[pid] < thr[cell_c]
-    flagged = non_neighbor & weak & (cnt[cell_c] > 1)
+    multi = cnt > 1
+    if not multi.any():
+        return np.ones(d, bool)
 
     removed = np.zeros(d, bool)
-    np.logical_or.at(removed, pid, flagged)
+    G = int(cnt[multi].max())
+    mcells = np.flatnonzero(multi)
+    for lo in range(0, len(mcells), cell_chunk):
+        sel = mcells[lo: lo + cell_chunk]
+        c = len(sel)
+        # Padded (c, G) patch-id table for this chunk of cells.
+        tbl = np.zeros((c, G), np.int64)
+        valid = np.arange(G)[None, :] < cnt[sel][:, None]
+        flat_rows = np.repeat(np.arange(c), cnt[sel])
+        flat_cols = np.concatenate([np.arange(k) for k in cnt[sel]])
+        src = np.concatenate(
+            [pid_s[starts[i]: starts[i] + cnt[i]] for i in sel]
+        )
+        tbl[flat_rows, flat_cols] = src
+        # Exact pairwise planarity |d.n1 + d.n2| per cell (c, G, G), with
+        # d = p_a - p_b (is_patch_neighbor, MVS2.py:298-299).
+        P = points[tbl]                       # (c, G, 3)
+        Nrm = normals[tbl]
+        dvec = P[:, :, None, :] - P[:, None, :, :]
+        plan = np.abs(
+            np.einsum("cabj,caj->cab", dvec, Nrm)      # (p_a - p_b) . n_a
+            + np.einsum("cabj,cbj->cab", dvec, Nrm)    # (p_a - p_b) . n_b
+        )
+        pair_ok = valid[:, :, None] & valid[:, None, :]
+        diff = tbl[:, :, None] != tbl[:, None, :]
+        # Patch in column b is non-neighboring with SOME other patch a.
+        non_nb_any = (
+            (plan >= neighbor_threshold) & pair_ok & diff
+        ).any(axis=1)                          # (c, G) over b
+        weak = vis_ct[tbl] * scores[tbl] < thr[sel][:, None]
+        flagged = non_nb_any & weak & valid
+        removed[tbl[flagged]] = True
     return ~removed

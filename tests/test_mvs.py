@@ -505,3 +505,78 @@ class TestMvsCheckpoint:
                 imgs, cal, recon,
                 MvsConfig(round_capacity=1024, max_rounds=6, cell_size=4),
                 scale=10.0, checkpoint_dir=ckpt_dir, checkpoint_every=1)
+
+
+class TestOutlierFilterExactPairwise:
+    """The reference flags a weak patch if ANY cellmate is non-neighboring
+    (MVS2.py:143-147).  A best-witness-only simplification misses the case
+    where the weak patch is coplanar with the cell's best patch but
+    non-coplanar with another — this constructs exactly that divergence."""
+
+    def test_weak_patch_nonneighbor_only_with_nonbest(self):
+        from sfm_tpu.mvs.filter import filter_outliers
+
+        d = 3
+        points = np.zeros((d, 3), np.float32)
+        normals = np.zeros((d, 3), np.float32)
+        # Patch 0: BEST (score 0.95), plane z=0 through origin.
+        normals[0, 2] = 1.0
+        # Patch 1: weak, at the origin too, same plane as best ->
+        # planarity(1, 0) = 0 (neighboring with the best).
+        normals[1, 2] = 1.0
+        # Patch 2: mid score, displaced along z so planarity(1, 2) =
+        # |d.n1 + d.n2| = 2*0.5 = 1.0 >= 0.2 (non-neighboring with patch 1).
+        points[2] = [0.0, 0.0, 0.5]
+        normals[2, 2] = 1.0
+        scores = np.asarray([0.95, 0.05, 0.5], np.float32)
+        vis = np.zeros((d, 2), bool)
+        vis[:, 0] = True
+        proj = np.zeros((d, 2, 2), np.float32)
+        proj[:, 0] = [30.0, 30.0]  # all share one cell
+        keep = filter_outliers(points, normals, scores, vis, proj,
+                               cell_size=2, grid_w=320, grid_h=240)
+        # weak support: vis_ct * score = 0.05 < mean(1 - s) = 0.5
+        assert not keep[1], "exact pairwise rule must flag the weak patch"
+        assert keep[0] and keep[2]
+
+    def test_matches_bruteforce_reference_rule(self):
+        """Randomized equivalence against a direct transcription of the
+        reference's quadruple loop (our own oracle, not reference code)."""
+        from sfm_tpu.mvs.filter import filter_outliers
+
+        rng = np.random.default_rng(3)
+        d, n = 200, 6
+        points = rng.normal(size=(d, 3)).astype(np.float32) * 0.05
+        normals = rng.normal(size=(d, 3)).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        scores = rng.uniform(0.2, 1.0, d).astype(np.float32)
+        vis = rng.random((d, n)) < 0.5
+        proj = rng.uniform(0, 80, (d, n, 2)).astype(np.float32)
+        cs, gw, gh = 2, 320, 240
+        keep = filter_outliers(points, normals, scores, vis, proj, cs, gw, gh)
+
+        # Oracle: exact per-cell pairwise rule.
+        from collections import defaultdict
+
+        cells = defaultdict(list)
+        for p in range(d):
+            for i in range(n):
+                if vis[p, i]:
+                    cx = min(int(proj[p, i, 0] // cs), gw - 1)
+                    cy = min(int(proj[p, i, 1] // cs), gh - 1)
+                    cells[(i, cx, cy)].append(p)
+        removed = np.zeros(d, bool)
+        vis_ct = vis.sum(1)
+        for members in cells.values():
+            thr = np.mean([1.0 - scores[p] for p in members])
+            for p2 in members:
+                if vis_ct[p2] * scores[p2] >= thr:
+                    continue
+                for p1 in members:
+                    if p1 == p2:
+                        continue
+                    dv = points[p1] - points[p2]
+                    if abs(dv @ normals[p1] + dv @ normals[p2]) >= 0.2:
+                        removed[p2] = True
+                        break
+        np.testing.assert_array_equal(keep, ~removed)
