@@ -126,6 +126,12 @@ class MvsConfig:
     max_rounds: int = 64
     # Per-round candidate batch capacity (static shape).
     round_capacity: int = 16_384
+    # Expansion rounds fused into one device program call: each call pays a
+    # fixed ~23 ms D2H payload fetch over a remote-TPU link, so chunking
+    # amortizes it; too large a chunk wastes whole rounds after the
+    # frontier goes dry (the host only sees acceptance counts per chunk).
+    # Forced to 1 when enable_outlier_filter needs per-round vis/proj.
+    rounds_per_call: int = 2
     # PMVS-style geometric view gate: NCC-sample only the (max_photo_views-1)
     # non-reference views best aligned with the patch normal (0 = score all
     # views, the reference's exact semantics; -1 = auto, see

@@ -284,9 +284,10 @@ def dense_reconstruction(
     last_ckpt_rounds = rounds
     # vis/proj of intermediate rounds only exist on device inside the
     # chunked program, so the outlier filter (which consumes them on host)
-    # forces single-round programs; the default path chunks 2 rounds per
-    # program to amortize the per-call fetch + dispatch.
-    chunk = 1 if fetch_visproj else 2
+    # forces single-round programs; the default path chunks
+    # config.rounds_per_call rounds per program to amortize the per-call
+    # fetch + dispatch.
+    chunk = 1 if fetch_visproj else max(config.rounds_per_call, 1)
     with timers.stage("expand"):
         while rounds < config.max_rounds and total < config.max_patches:
             frontier, backlog = _merge_backlog(frontier, backlog, cap)

@@ -138,9 +138,16 @@ def _harris_kernel(hbm_ref, out_ref, scratch, sem, *, k, tile_h):
     out_ref[0] = jnp.where(col_ok, resp, 0.0)
 
 
-def _pick_tile(h: int, max_tile: int = 160) -> int:
-    """Largest row-tile that divides h, is a multiple of 8, and fits VMEM."""
-    for t in range(min(max_tile, h), 7, -1):
+def _pick_tile(h: int, w: int, max_tile: int = 160) -> int:
+    """Largest row-tile that divides h, is a multiple of 8, and fits VMEM.
+
+    The kernel keeps ~23 live (tile+8, w) f32 buffers on the Mosaic scoped-
+    vmem stack (measured: tile 160 at w=1280 reported a 19.65 MB stack
+    against the 16 MB limit), so the row budget must scale with 1/width —
+    at w=640 the 160-row tile stands, at w=1280 it shrinks to 80."""
+    budget_rows = int(12e6 / (23 * 4 * w)) - 8
+    cap = min(max_tile, max(8, budget_rows // 8 * 8))
+    for t in range(min(cap, h), 7, -1):
         if h % t == 0 and t % 8 == 0:
             return t
     return 0
@@ -151,7 +158,7 @@ def harris_response(gray, k: float = 0.04, use_pallas=None):
     """Harris corner response for a stack of grayscale images (N, H, W)."""
     gray = gray.astype(jnp.float32)
     n, h, w = gray.shape
-    tile_h = _pick_tile(h)
+    tile_h = _pick_tile(h, w)
     if _use_pallas(use_pallas) and tile_h:
         padded = jnp.pad(gray, ((0, 0), (4, 4), (0, 0)))
         kern = functools.partial(_harris_kernel, k=k, tile_h=tile_h)

@@ -199,3 +199,17 @@ def test_lowe_ratio_default_matches_documentation():
     ).read()
     assert "default ratio 0.8" in parity
     assert "sweep_lowe" in parity
+
+
+def test_pick_tile_respects_vmem_budget():
+    """The Pallas Harris tile must shrink with image width: ~23 live
+    (tile+8, w) f32 buffers sit on the Mosaic scoped-vmem stack (16 MB);
+    at w=1280 a 160-row tile overflows it (observed OOM at 19.65 MB)."""
+    from sfm_tpu.ops.harris import _pick_tile
+
+    assert _pick_tile(480, 640) == 160          # dinoRing: unchanged
+    t = _pick_tile(960, 1280)
+    assert t and t <= 88 and 960 % t == 0       # 2x res: fits the budget
+    assert 23 * 4 * 1280 * (t + 8) < 14e6
+    t4k = _pick_tile(2160, 4096)
+    assert t4k and 23 * 4 * 4096 * (t4k + 8) < 14e6

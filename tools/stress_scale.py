@@ -1,0 +1,186 @@
+"""Scale stress beyond dinoRing (VERDICT r1 item 10): synthetic 96-frame
+ring at 1280x960 (2x resolution, 2x frames, 4x pixels/frame vs dinoRing).
+
+Scene: a textured sphere (closed-form ray intersection; random-Fourier
+3-D texture so there are no uv seams and patch-scale NCC structure exists
+everywhere).  Cameras on a ring looking at the origin, exact calibration —
+the same contract as Middlebury rings.  Validates that the static-capacity
+knobs scale (corner/match/round capacities) and records perf at this scale.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/stress_scale.py \
+       [--frames 96] [--width 1280] [--height 960]
+Writes one JSON line per config plus a final RESULT line.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def make_scene(n_frames=96, w=1280, h=960, seed=0):
+    rng = np.random.default_rng(seed)
+    rho = 1.0                      # sphere radius
+    cam_r = 3.0                    # ring radius
+    f = 1.2 * w                    # focal (keeps the sphere ~60% of frame)
+
+    # Random-Fourier 3-D texture: smooth, seamless, patch-scale detail.
+    n_freq = 48
+    omega = rng.normal(size=(n_freq, 3)) * rng.uniform(8, 40, (n_freq, 1))
+    phase = rng.uniform(0, 2 * np.pi, n_freq)
+    amp = rng.uniform(0.5, 1.0, n_freq) / np.sqrt(n_freq)
+
+    def texture(p):  # p (..., 3) on the sphere -> [0, 255]
+        v = np.tensordot(p, omega.T, axes=1) + phase  # (..., n_freq)
+        t = (np.sin(v) * amp).sum(-1)
+        return np.clip(127 + 90 * t, 0, 255)
+
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float64)
+    Ks, Rs, ts, imgs = [], [], [], []
+    ys, xs = np.mgrid[0:h, 0:w]
+    for i in range(n_frames):
+        ang = 2 * np.pi * i / n_frames
+        C = np.array([cam_r * np.cos(ang), 0.35, cam_r * np.sin(ang)])
+        # Look-at origin: z-axis toward -C.
+        z = -C / np.linalg.norm(C)
+        x_ax = np.cross([0, 1, 0], z)
+        x_ax /= np.linalg.norm(x_ax)
+        y_ax = np.cross(z, x_ax)
+        R = np.stack([x_ax, y_ax, z])         # world->cam rows
+        t = -R @ C
+        # Render: ray-sphere intersection per pixel.
+        d_cam = np.stack(
+            [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1],
+             np.ones_like(xs, np.float64)], -1)
+        d_w = d_cam @ R               # R^T rows -> world dirs
+        d_w /= np.linalg.norm(d_w, axis=-1, keepdims=True)
+        b = d_w @ C
+        disc = b * b - (C @ C - rho * rho)
+        hit = disc > 0
+        s = -b - np.sqrt(np.maximum(disc, 0))
+        p = C + s[..., None] * d_w
+        g = np.where(hit, texture(p), 12.0)
+        img = np.repeat(g[..., None], 3, axis=-1).astype(np.uint8)
+        Ks.append(K)
+        Rs.append(R)
+        ts.append(t)
+        imgs.append(img)
+    return (
+        np.stack(imgs),
+        np.stack(Ks), np.stack(Rs), np.stack(ts),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=96)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=960)
+    ap.add_argument("--max_corners", type=int, default=4096)
+    ap.add_argument("--max_matches", type=int, default=2048)
+    ap.add_argument("--round_capacity", type=int, default=32768)
+    ap.add_argument("--max_patches", type=int, default=300_000)
+    args = ap.parse_args()
+
+    from sfm_tpu.config import (
+        PipelineConfig, FeatureConfig, BaConfig, MvsConfig,
+    )
+    from sfm_tpu.io.calib import Calibration
+    from sfm_tpu.sfm import structure_from_motion
+    from sfm_tpu.ba.run import bundle_adjust
+    from sfm_tpu.mvs import dense_reconstruction
+
+    t0 = time.time()
+    cache = f"/tmp/stress_scene_{args.frames}_{args.width}x{args.height}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        images, K, R, t = z["images"], z["K"], z["R"], z["t"]
+    else:
+        images, K, R, t = make_scene(args.frames, args.width, args.height)
+        np.savez(cache, images=images, K=K, R=R, t=t)
+    calib = Calibration(
+        K=K, R=R, t=t, names=tuple(f"s{i:04d}" for i in range(args.frames))
+    )
+    print(json.dumps({"scene_gen_s": round(time.time() - t0, 1),
+                      "shape": list(images.shape)}), flush=True)
+
+    cfg = PipelineConfig(
+        features=FeatureConfig(
+            max_corners=args.max_corners, max_matches=args.max_matches
+        ),
+        ba=BaConfig(),
+        mvs=MvsConfig(
+            round_capacity=args.round_capacity,
+            max_patches=args.max_patches,
+            max_rounds=96,
+        ),
+    )
+    t0 = time.perf_counter()
+    recon = structure_from_motion(images, calib, cfg)
+    t_sfm = time.perf_counter() - t0
+    print(json.dumps({
+        "stage": "sfm", "wall_s": round(t_sfm, 2),
+        "tracks": recon.num_tracks, "obs": int(recon.num_observations),
+        "mean_pair_reproj": recon.metrics.values[
+            "mean_pair_reprojection_error_px"],
+    }), flush=True)
+
+    t0 = time.perf_counter()
+    recon, info = bundle_adjust(recon, cfg.ba)
+    t_ba = time.perf_counter() - t0
+    rms = recon.rms_reprojection_error()
+    print(json.dumps({"stage": "ba", "wall_s": round(t_ba, 2),
+                      "rms_px": rms, "iters": info["iterations"]}),
+          flush=True)
+
+    t0 = time.perf_counter()
+    dense = dense_reconstruction(images, calib, recon, cfg.mvs, scale=10.0)
+    t_mvs = time.perf_counter() - t0
+    # Geometric ground truth: every dense point must sit on the sphere.
+    r_err = np.abs(np.linalg.norm(dense.points, axis=1) - 1.0)
+    result = {
+        "frames": args.frames, "res": f"{args.width}x{args.height}",
+        "sfm_s": round(t_sfm, 2), "ba_s": round(t_ba, 2),
+        "mvs_s": round(t_mvs, 2),
+        "wall_s": round(t_sfm + t_ba + t_mvs, 2),
+        "frames_per_s": round(args.frames / (t_sfm + t_ba + t_mvs), 2),
+        "tracks": recon.num_tracks,
+        "rms_px": round(rms, 4),
+        "seeds": dense.num_seeds,
+        "dense_points": dense.num_points,
+        "rounds": dense.metrics.values["mvs_rounds"],
+        "sphere_dist_median": float(np.median(r_err)),
+        "sphere_dist_p95": float(np.percentile(r_err, 95)),
+        "candidates_over_capacity": dense.metrics.values[
+            "mvs_candidates_over_capacity"],
+        "backlog_remaining": dense.metrics.values.get(
+            "mvs_backlog_remaining", 0),
+    }
+    print("RESULT " + json.dumps(result), flush=True)
+
+    # Warm (steady-state) timing: re-run the full pipeline with compiled
+    # programs in place.
+    t0 = time.perf_counter()
+    recon2 = structure_from_motion(images, calib, cfg)
+    t_sfm2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    recon2, _ = bundle_adjust(recon2, cfg.ba)
+    t_ba2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dense2 = dense_reconstruction(images, calib, recon2, cfg.mvs, scale=10.0)
+    t_mvs2 = time.perf_counter() - t0
+    wall2 = t_sfm2 + t_ba2 + t_mvs2
+    print("WARM " + json.dumps({
+        "sfm_s": round(t_sfm2, 2), "ba_s": round(t_ba2, 2),
+        "mvs_s": round(t_mvs2, 2), "wall_s": round(wall2, 2),
+        "frames_per_s": round(args.frames / wall2, 2),
+        "dense_points": dense2.num_points,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
