@@ -60,3 +60,48 @@ class TestCli:
     def test_missing_prereq_errors(self, tmp_path):
         rc = main(_ref_args(tmp_path, ["--stages", "ba"]))
         assert rc == 2
+
+    def test_non_sequence_full_pipeline(self, tmp_path):
+        """All-C(n,2)-pairs mode end-to-end — the reference declares it but
+        raises NotImplementedError (SFM.py:49-50); it must WORK here and
+        yield at least the sequential mode's track count (superset of
+        pairs)."""
+        rc = main(_ref_args(tmp_path, [
+            "--nonSequence", "--stages", "sfm,ba",
+        ]))
+        assert rc == 0
+        seq_dir = tmp_path / "seq"
+        seq_dir.mkdir()
+        args = _ref_args(seq_dir, ["--stages", "sfm,ba"])
+        assert main(args) == 0
+        from sfm_tpu.io.ply import read_ply
+
+        pts_comb, _ = read_ply(str(tmp_path / "sparse_points_ba.ply"))
+        pts_seq, _ = read_ply(str(seq_dir / "sparse_points_ba.ply"))
+        assert pts_comb.shape[0] >= pts_seq.shape[0]
+
+    def test_textureless_images_fail_cleanly(self, tmp_path):
+        """Blank images -> no corners -> no matches -> empty reconstruction
+        must surface as a clean error, not a crash (reference prints
+        RuntimeError, main.py:43-46)."""
+        import numpy as np
+        from PIL import Image
+
+        img_dir = tmp_path / "blank"
+        img_dir.mkdir()
+        for i in range(3):
+            Image.fromarray(
+                np.zeros((48, 64, 3), np.uint8)
+            ).save(img_dir / f"b{i}.png")
+        par = img_dir / "par.txt"
+        rows = []
+        for i in range(3):
+            rows.append(
+                f"b{i}.png 100 0 32 0 100 24 0 0 1 1 0 0 0 1 0 0 0 1 0 0 {1.0 + i}"
+            )
+        par.write_text("3\n" + "\n".join(rows) + "\n")
+        rc = main([
+            "-img_p", str(img_dir), "-par_p", str(par), "-t", "png",
+            "--out_dir", str(tmp_path), "--stages", "sfm",
+        ])
+        assert rc in (0, 1)  # clean exit either way, never a traceback
