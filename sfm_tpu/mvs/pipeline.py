@@ -288,16 +288,48 @@ def dense_reconstruction(
     # config.rounds_per_call rounds per program to amortize the per-call
     # fetch + dispatch.
     chunk = 1 if fetch_visproj else max(config.rounds_per_call, 1)
+    def _dispatch():
+        nonlocal frontier, occupancy
+        frontier, occupancy, packed = expansion_round(
+            gray, K, R, t, centers_cam, occupancy,
+            frontier["c"], frontier["n"], frontier["vis"],
+            frontier["proj"], frontier["valid"],
+            config, bound, cap, scale, mesh=mesh,
+            rounds_per_call=chunk,
+        )
+        return packed
+
     with timers.stage("expand"):
+        pending = None  # prefetched chunk whose payload is not yet read
         while rounds < config.max_rounds and total < config.max_patches:
-            frontier, backlog = _merge_backlog(frontier, backlog, cap)
-            frontier, occupancy, packed = expansion_round(
-                gray, K, R, t, centers_cam, occupancy,
-                frontier["c"], frontier["n"], frontier["vis"],
-                frontier["proj"], frontier["valid"],
-                config, bound, cap, scale, mesh=mesh,
-                rounds_per_call=chunk,
-            )
+            if pending is None:
+                frontier, backlog = _merge_backlog(frontier, backlog, cap)
+                packed = _dispatch()
+            else:
+                packed, pending = pending, None
+            # Software pipelining: enqueue the NEXT chunk before the
+            # blocking payload fetch of this one, so the ~23 ms tunnel
+            # fetch + host unpack overlap device compute.  Only when the
+            # next chunk is PROVABLY identical to what the sequential loop
+            # would run: no backlog merge pending, budgets unreachable even
+            # at maximal acceptance, no checkpoint due (its state must stay
+            # in lockstep with the counters), and no per-round vis/proj
+            # consumption (outlier filter reads `frontier` on host).
+            # Exact bounds: after this chunk, rounds' = rounds + chunk and
+            # total' <= total + chunk*cap; the sequential loop would run the
+            # next chunk iff rounds' < max_rounds and total' < max_patches.
+            if (
+                not backlog
+                and not fetch_visproj
+                and rounds + chunk < config.max_rounds
+                and total + chunk * cap < config.max_patches
+                and not (
+                    checkpoint_dir
+                    and rounds + 2 * chunk - last_ckpt_rounds
+                    >= checkpoint_every
+                )
+            ):
+                pending = _dispatch()
             # ONE small fetch per chunk; the frontier stays on device.
             ph = np.asarray(packed).reshape(chunk, cap + 1, 11)
             stop = False

@@ -197,10 +197,27 @@ def _make_pair_step(config: PipelineConfig, num_matches: int):
         )
         ok = inliers & nondegenerate & gate
         err_sum = jnp.sum(jnp.where(ok, 0.5 * (err_a + err_b), 0.0))
-        return (
-            p1, p2, X, ok,
-            m.count, n_inl, jnp.sum(ok.astype(jnp.int32)), err_sum, F,
+        # Pack per-pair outputs into ONE f32 payload (+ tiny stats row):
+        # every separate device->host array costs a fixed ~23 ms fetch over
+        # a remote-TPU link, so the host loop retrieves a round's results
+        # in two transfers instead of nine.  Layout per match row:
+        # [p1(2) | p2(2) | X(3) | ok(1)].
+        geo = jnp.concatenate(
+            [
+                p1, p2, X.astype(jnp.float32),
+                ok.astype(jnp.float32)[:, None],
+            ],
+            axis=1,
         )
+        stats = jnp.stack(
+            [
+                m.count.astype(jnp.float32),
+                n_inl.astype(jnp.float32),
+                jnp.sum(ok.astype(jnp.int32)).astype(jnp.float32),
+                err_sum,
+            ]
+        )
+        return geo, stats, F
 
     return step
 
@@ -277,19 +294,19 @@ def structure_from_motion(
             K[ia], R[ia], t[ia], K[ib], R[ib], t[ib],
             keys,
         )
-        (p1, p2, X, ok, n_match, n_inl, n_gate, err_sum, F) = run_pairs(args)
-        jax.block_until_ready(ok)
-        if len(ia) > n_pairs:  # drop padded pair rows
-            p1, p2, X, ok = p1[:n_pairs], p2[:n_pairs], X[:n_pairs], ok[:n_pairs]
-            n_match, n_inl = n_match[:n_pairs], n_inl[:n_pairs]
-            n_gate, err_sum, F = n_gate[:n_pairs], err_sum[:n_pairs], F[:n_pairs]
+        geo_d, stats_d, F_d = run_pairs(args)
+        # TWO host fetches for the whole stage (geo + stats); F only under
+        # --debug — each extra array costs a fixed ~23 ms over the tunnel.
+        geo = np.asarray(geo_d)[:n_pairs]
+        stats = np.asarray(stats_d)[:n_pairs]
+        p1_h = geo[..., 0:2].astype(np.int32)
+        p2_h = geo[..., 2:4].astype(np.int32)
+        X_h = geo[..., 4:7].astype(np.float64)
+        ok_h = geo[..., 7] > 0.5
+        n_match, n_inl, n_gate, err_sum = (stats[:, i] for i in range(4))
 
     with timers.stage("tracks"):
         store = track_store or TrackStore(config.sfm.track_merge_threshold)
-        p1_h = np.asarray(p1).astype(np.int32)
-        p2_h = np.asarray(p2).astype(np.int32)
-        X_h = np.asarray(X).astype(np.float64)
-        ok_h = np.asarray(ok)
         for pi, (a, b) in enumerate(pairs):
             sel = ok_h[pi]
             if not sel.any():
@@ -304,14 +321,14 @@ def structure_from_motion(
             store.add_pairs(obs_a, obs_b, X_h[pi][sel])
         world, offsets, obs = store.export()
 
-    n_gate_total = int(np.asarray(n_gate).sum())
+    n_gate_total = int(n_gate.sum())
     metrics.record("num_pairs", len(pairs))
-    metrics.record("matches_per_pair_mean", float(np.asarray(n_match).mean()))
-    metrics.record("inliers_per_pair_mean", float(np.asarray(n_inl).mean()))
+    metrics.record("matches_per_pair_mean", float(n_match.mean()))
+    metrics.record("inliers_per_pair_mean", float(n_inl.mean()))
     metrics.record("gated_points_total", n_gate_total)
     metrics.record(
         "mean_pair_reprojection_error_px",
-        float(np.asarray(err_sum).sum() / max(n_gate_total, 1)),
+        float(err_sum.sum() / max(n_gate_total, 1)),
     )
     metrics.record("num_tracks", world.shape[0])
     metrics.record("num_observations", obs.shape[0])
@@ -323,10 +340,10 @@ def structure_from_motion(
         # utils.py:114-158): correspondences + inlier mask + F per pair.
         debug_pairs = {
             "pairs": pairs,
-            "p1": np.asarray(p1),
-            "p2": np.asarray(p2),
+            "p1": geo[..., 0:2].astype(np.float32),
+            "p2": geo[..., 2:4].astype(np.float32),
             "inlier": ok_h,
-            "F": np.asarray(F),
+            "F": np.asarray(F_d)[:n_pairs],
         }
 
     return SparseReconstruction(
