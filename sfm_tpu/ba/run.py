@@ -99,7 +99,14 @@ def bundle_adjust(
         info["cams11"] = cams
     recon.metrics.record("ba_final_cost", info["final_cost"])
     recon.metrics.record("ba_iterations", info["iterations"])
+    # With frozen cameras the refined-parameter rms IS the rms against the
+    # stored calibration (same cameras), so reuse the solver's own cost
+    # instead of paying a fresh device program + fetch; the joint path's
+    # cameras differ from calibration, so compute it for real there.
     recon.metrics.record(
-        "ba_rms_reproj_after_px", recon.rms_reprojection_error()
+        "ba_rms_reproj_after_px",
+        info["rms_reproj_refined_px"]
+        if not config.refine_cameras
+        else recon.rms_reprojection_error(),
     )
     return recon, info

@@ -127,7 +127,21 @@ def _make_pair_program(config: PipelineConfig, num_matches: int, mesh=None):
     step = _make_pair_step(config, num_matches)
     local = lambda args: jax.lax.map(step, args)  # noqa: E731
     if mesh is None:
-        return jax.jit(local)
+        # Single-device: gather the per-pair argument stacks INSIDE the
+        # program — building them eagerly costs 14 separate device
+        # dispatches per pipeline call (~50 ms of launch overhead over a
+        # remote link) for what is one fused gather pass under jit.
+        def run(desc, valid, corners, P, K, R, t, ia, ib, keys):
+            args = (
+                desc[ia], valid[ia], corners[ia],
+                desc[ib], valid[ib], corners[ib],
+                P[ia], P[ib],
+                K[ia], R[ia], t[ia], K[ib], R[ib], t[ib],
+                keys,
+            )
+            return local(args)
+
+        return jax.jit(run)
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
@@ -283,18 +297,25 @@ def structure_from_motion(
         run_pairs = _make_pair_program(
             config, config.features.max_matches, mesh
         )
-        val_a, val_b = fs.valid[ia], fs.valid[ib]
-        if mesh is not None and len(ia) > n_pairs:
-            real = (jnp.arange(len(ia)) < n_pairs)[:, None]
-            val_a, val_b = val_a & real, val_b & real
-        args = (
-            fs.descriptors[ia], val_a, fs.corners[ia],
-            fs.descriptors[ib], val_b, fs.corners[ib],
-            P[ia], P[ib],
-            K[ia], R[ia], t[ia], K[ib], R[ib], t[ib],
-            keys,
-        )
-        geo_d, stats_d, F_d = run_pairs(args)
+        if mesh is None:
+            geo_d, stats_d, F_d = run_pairs(
+                fs.descriptors, fs.valid, fs.corners, P, K, R, t,
+                jnp.asarray(ia, jnp.int32), jnp.asarray(ib, jnp.int32),
+                keys,
+            )
+        else:
+            val_a, val_b = fs.valid[ia], fs.valid[ib]
+            if len(ia) > n_pairs:
+                real = (jnp.arange(len(ia)) < n_pairs)[:, None]
+                val_a, val_b = val_a & real, val_b & real
+            args = (
+                fs.descriptors[ia], val_a, fs.corners[ia],
+                fs.descriptors[ib], val_b, fs.corners[ib],
+                P[ia], P[ib],
+                K[ia], R[ia], t[ia], K[ib], R[ib], t[ib],
+                keys,
+            )
+            geo_d, stats_d, F_d = run_pairs(args)
         # TWO host fetches for the whole stage (geo + stats); F only under
         # --debug — each extra array costs a fixed ~23 ms over the tunnel.
         geo = np.asarray(geo_d)[:n_pairs]
