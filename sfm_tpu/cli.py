@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_ncc_seed", type=float, default=0.4)
     p.add_argument("--min_ncc_expand", type=float, default=0.7)
     p.add_argument("--mvs_rounds", type=int, default=64)
-    p.add_argument("--mvs_round_capacity", type=int, default=16384)
+    p.add_argument("--mvs_round_capacity", type=int, default=32768)
     p.add_argument("--mvs_max_patches", type=int, default=100_000)
     p.add_argument("--mvs_max_views", type=int, default=-1,
                    help="PMVS-style geometric view gate: NCC-test only this "

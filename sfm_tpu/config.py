@@ -124,14 +124,23 @@ class MvsConfig:
     # (MVS2.py:321): total accepted-patch budget across expansion rounds.
     max_patches: int = 100_000
     max_rounds: int = 64
-    # Per-round candidate batch capacity (static shape).
-    round_capacity: int = 16_384
+    # Per-round candidate batch capacity (static shape).  Swept on
+    # dinoRing-48 (tools/sweep_capacity.py): 16384 -> 13.8 us/point,
+    # 32768 -> 10.7 us/point (fewer rounds = fewer fixed per-round costs:
+    # occupancy-sized dedup scatters, compaction, dispatch+fetch), 49152+
+    # loses to padding waste (seed round and final round score mostly
+    # empty slots).
+    round_capacity: int = 32_768
     # Expansion rounds fused into one device program call: each call pays a
     # fixed ~23 ms D2H payload fetch over a remote-TPU link, so chunking
     # amortizes it; too large a chunk wastes whole rounds after the
     # frontier goes dry (the host only sees acceptance counts per chunk).
+    # With the software-pipelined host loop (mvs/pipeline.py) the fetch
+    # already overlaps device compute, and at round_capacity 32768 dinoRing
+    # finishes in ~4 rounds — chunking past 1 only enlarges the wasted
+    # prefetched tail (measured: chunk 2 is 20% slower at cap 32768).
     # Forced to 1 when enable_outlier_filter needs per-round vis/proj.
-    rounds_per_call: int = 2
+    rounds_per_call: int = 1
     # PMVS-style geometric view gate: NCC-sample only the (max_photo_views-1)
     # non-reference views best aligned with the patch normal (0 = score all
     # views, the reference's exact semantics; -1 = auto, see
