@@ -210,42 +210,45 @@ def dense_reconstruction(
         return out, backlog
 
     def _merge_backlog(fr, backlog, cap):
-        """Refill invalid frontier slots from the host backlog; if the
-        frontier is saturated, SWAP a reserved fraction (cap/8) of its tail
-        entries out to the backlog so deferred patches cannot starve behind
-        rounds that always fill capacity.  Nothing is ever dropped — swapped
-        entries re-enter on a later merge.  Host-side round-trip, but only
-        taken while a backlog exists (seed counts above round_capacity) —
-        the steady state stays on device."""
+        """FIFO refill: while a backlog exists, the next round's frontier is
+        the OLDEST ``cap`` pending patches — backlog entries first (they were
+        deferred in an earlier round), then this round's accepted patches in
+        slot order; accepted patches that don't fit are appended to the
+        backlog's tail.  This is the parallel analogue of the reference's
+        BFS queue order (MVS2.py:314-321): every pending patch expands within
+        ceil(queue_position / cap) rounds, so deferral is bounded and nothing
+        starves behind rounds that keep filling capacity.  Nothing is ever
+        dropped.  Host-side round-trip, but only taken while a backlog
+        exists (seed counts above round_capacity) — the steady state stays
+        on device."""
         if not backlog:
             return fr, None
-        host = {k: np.array(fr[k]) for k in _FRONTIER_KEYS}  # writable copies
-        free = np.flatnonzero(~host["valid"])
+        host = {k: np.asarray(fr[k]) for k in _FRONTIER_KEYS}
+        live = np.flatnonzero(host["valid"])
         n_backlog = backlog["c"].shape[0]
-        evicted = None
-        if free.size < min(n_backlog, max(cap // 8, 1)):
-            occupied = np.flatnonzero(host["valid"])
-            n_swap = min(n_backlog, max(cap // 8, 1)) - free.size
-            swap_slots = occupied[-n_swap:]
-            evicted = {k: np.array(v[swap_slots]) for k, v in host.items()}
-            host["valid"][swap_slots] = False
-            free = np.concatenate([free, swap_slots])
-        take = min(free.size, n_backlog)
-        if take == 0:
-            return fr, backlog
-        slots = free[:take]
-        for k in host:
-            host[k][slots] = backlog[k][:take]
-        host["valid"][slots] = True
-        fr = {k: jnp.asarray(v) for k, v in host.items()}
-        rest = {k: v[take:] for k, v in backlog.items()} if take < n_backlog else None
-        if evicted is not None:
-            if rest is None:
-                rest = evicted
-            else:
-                rest = {
-                    k: np.concatenate([rest[k], evicted[k]]) for k in rest
-                }
+        take = min(cap, n_backlog)
+        room = cap - take
+        keep, spill = live[:room], live[room:]
+        out = {}
+        for k, v in host.items():
+            buf = np.zeros((cap,) + v.shape[1:], v.dtype)
+            buf[:take] = backlog[k][:take]
+            if keep.size:
+                buf[take : take + keep.size] = v[keep]
+            out[k] = buf
+        fr = {k: jnp.asarray(v) for k, v in out.items()}
+        rest = (
+            {k: v[take:] for k, v in backlog.items()}
+            if take < n_backlog
+            else None
+        )
+        if spill.size:
+            spilled = {k: np.asarray(host[k][spill]) for k in host}
+            rest = (
+                spilled
+                if rest is None
+                else {k: np.concatenate([rest[k], spilled[k]]) for k in rest}
+            )
         return fr, rest
 
     if not resumed:

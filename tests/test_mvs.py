@@ -404,15 +404,29 @@ class TestFrontierOverflow:
         # seeds beyond capacity.  Cloud layout: rows [0, n_seeds) are the
         # seeds in insertion order (the first `cap` were the initial
         # frontier; the rest were deferred), rows [n_seeds, ...) are
-        # expansion patches.  Most deferred seeds must have expansion
-        # growth in their immediate neighborhood.
-        deferred_seeds = d.points[cap:n_seeds]
-        grown = d.points[n_seeds:]
-        close = 0
-        for s in deferred_seeds:
-            if np.any(np.linalg.norm(grown - s, axis=1) < 0.006):
-                close += 1
-        assert close / deferred_seeds.shape[0] > 0.6
+        # expansion patches.  The invariant is "deferral loses nothing":
+        # growth coverage around the deferred seeds must match a CONTROL
+        # run whose capacity holds every seed (no deferral at all) on the
+        # same budgets.  (An absolute bar is wrong here — many seeds sit in
+        # saturated regions with no vacant neighbor cells, so even the
+        # control only grows near ~60 % of them.)
+        control = dense_reconstruction(
+            imgs, cal, recon,
+            MvsConfig(round_capacity=1024, max_rounds=60, max_patches=8000),
+            scale=10.0)
+        assert "mvs_seed_frontier_deferred" not in control.metrics.values
+
+        def growth_frac(run):
+            deferred_seeds = run.points[cap:run.num_seeds]
+            grown = run.points[run.num_seeds:]
+            close = sum(
+                1
+                for s in deferred_seeds
+                if np.any(np.linalg.norm(grown - s, axis=1) < 0.006)
+            )
+            return close / deferred_seeds.shape[0]
+
+        assert growth_frac(d) >= 0.9 * growth_frac(control)
 
     def test_no_overflow_records_no_deferral(self, recon8):
         imgs, cal, recon = recon8
