@@ -143,7 +143,7 @@ def _make_pair_program(config: PipelineConfig, num_matches: int, mesh=None):
 
         return jax.jit(run)
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     return jax.jit(
         shard_map(local, mesh=mesh, in_specs=P("data"), out_specs=P("data"))
@@ -162,7 +162,7 @@ def _make_feature_program(config, use_pallas, mesh=None):
     if mesh is None:
         return jax.jit(fn)
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     return jax.jit(
         shard_map(fn, mesh=mesh, in_specs=P("data"), out_specs=P("data"))
