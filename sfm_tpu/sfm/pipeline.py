@@ -164,8 +164,15 @@ def _make_feature_program(config, use_pallas, mesh=None):
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
+    # check_vma=False: the Pallas Harris kernel's out_shape ShapeDtypeStructs
+    # carry no varying-mesh-axes annotation, which jax.shard_map's VMA check
+    # (jax >= 0.8) rejects; the per-image partition is trivially valid (every
+    # output row depends only on its own image slice).
     return jax.jit(
-        shard_map(fn, mesh=mesh, in_specs=P("data"), out_specs=P("data"))
+        shard_map(
+            fn, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+            check_vma=False,
+        )
     )
 
 
