@@ -23,56 +23,11 @@ import numpy as np
 
 
 def make_scene(n_frames=96, w=1280, h=960, seed=0):
-    rng = np.random.default_rng(seed)
-    rho = 1.0                      # sphere radius
-    cam_r = 3.0                    # ring radius
-    f = 1.2 * w                    # focal (keeps the sphere ~60% of frame)
+    """Textured-sphere ring via the shared generator (sfm_tpu.utils.synth)."""
+    from sfm_tpu.utils.synth import render_scene, ring_rig
 
-    # Random-Fourier 3-D texture: smooth, seamless, patch-scale detail.
-    n_freq = 48
-    omega = rng.normal(size=(n_freq, 3)) * rng.uniform(8, 40, (n_freq, 1))
-    phase = rng.uniform(0, 2 * np.pi, n_freq)
-    amp = rng.uniform(0.5, 1.0, n_freq) / np.sqrt(n_freq)
-
-    def texture(p):  # p (..., 3) on the sphere -> [0, 255]
-        v = np.tensordot(p, omega.T, axes=1) + phase  # (..., n_freq)
-        t = (np.sin(v) * amp).sum(-1)
-        return np.clip(127 + 90 * t, 0, 255)
-
-    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float64)
-    Ks, Rs, ts, imgs = [], [], [], []
-    ys, xs = np.mgrid[0:h, 0:w]
-    for i in range(n_frames):
-        ang = 2 * np.pi * i / n_frames
-        C = np.array([cam_r * np.cos(ang), 0.35, cam_r * np.sin(ang)])
-        # Look-at origin: z-axis toward -C.
-        z = -C / np.linalg.norm(C)
-        x_ax = np.cross([0, 1, 0], z)
-        x_ax /= np.linalg.norm(x_ax)
-        y_ax = np.cross(z, x_ax)
-        R = np.stack([x_ax, y_ax, z])         # world->cam rows
-        t = -R @ C
-        # Render: ray-sphere intersection per pixel.
-        d_cam = np.stack(
-            [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1],
-             np.ones_like(xs, np.float64)], -1)
-        d_w = d_cam @ R               # R^T rows -> world dirs
-        d_w /= np.linalg.norm(d_w, axis=-1, keepdims=True)
-        b = d_w @ C
-        disc = b * b - (C @ C - rho * rho)
-        hit = disc > 0
-        s = -b - np.sqrt(np.maximum(disc, 0))
-        p = C + s[..., None] * d_w
-        g = np.where(hit, texture(p), 12.0)
-        img = np.repeat(g[..., None], 3, axis=-1).astype(np.uint8)
-        Ks.append(K)
-        Rs.append(R)
-        ts.append(t)
-        imgs.append(img)
-    return (
-        np.stack(imgs),
-        np.stack(Ks), np.stack(Rs), np.stack(ts),
-    )
+    images, calib = render_scene(ring_rig(n_frames), w=w, h=h, seed=seed)
+    return images, calib.K, calib.R, calib.t
 
 
 def main():
