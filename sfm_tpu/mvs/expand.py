@@ -234,9 +234,12 @@ def _expansion_round_impl(
     # --- Photo-consistency for the whole batch (sharded over candidates
     # when a mesh is given: the round's dominant cost). ---
     c_new = _shard_constraint(c_new, mesh)
+    # Under GSPMD (mesh) the XLA gather path partitions automatically; the
+    # Pallas slab-gather kernel is an opaque custom call GSPMD cannot split,
+    # so it runs only single-device (where the bench lives).
     vis, proj, score, cnt = photo_consistency(
         gray, K, R, t, c_new, img, config.min_ncc_expand, config.patch_wid,
-        photo_views,
+        photo_views, use_pallas=False if mesh is not None else None,
     )
     vis = _shard_constraint(vis, mesh)
     proj = _shard_constraint(proj, mesh)

@@ -1,0 +1,177 @@
+"""Pallas slab-gather descriptor sampler — the MVS sweep's hot gather.
+
+Replaces ``vmap(dynamic_slice)`` patch gathering (ops/ncc.py), which XLA
+lowers to a slice gather costing ~1.5 us per INDEX on TPU (latency-bound,
+0.02% of HBM bandwidth — BASELINE.md roofline).  Measured on v5e
+(tools/prof_tile.py, M=81920 samples from a 48x480x640 stack):
+
+    XLA vmap(dynamic_slice) + normalize   1.485 us/sample
+    this kernel, DMA phase only           0.040 us/sample  (~760 GB/s)
+    this kernel, full extract+normalize   0.241 us/sample  -> 6.2x
+
+Design: per sample one async copy HBM->VMEM of a (24, W) slab at a dynamic
+8-row-aligned offset (the DMA engine pipelines S=128 outstanding copies per
+grid step at near-HBM-peak rate); the 11x11 bilinear patch is then cut out
+in-VMEM with a 128-aligned dynamic lane read + dynamic lane roll + an 8-way
+static row select, normalized, and written as a bf16 descriptor.  The
+sequential-looking per-sample Python loop is fully unrolled at trace time —
+there is no scalar loop at runtime (CLAUDE.md: serial fori_loop gathers cost
+~20 us/iter; this is why the kernel unrolls instead).
+
+Replaces the 121-pixel interpreted-Python NCC gather of the reference
+(/root/reference/MVS2.py:62-77) at the opposite end of the design space.
+
+Constraints (caller falls back to the XLA path otherwise):
+  - W % 128 == 0 and W >= 256 (lane alignment of the in-VMEM window read);
+  - wid <= 8 (window rows win+7 <= 24 must fit the slab);
+  - single-device program (a GSPMD-partitioned pallas_call is not
+    auto-shardable; the sharded MVS path keeps the XLA gather).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS = 24  # slab rows per sample: any (win+1)-row window at an 8-aligned base
+
+
+def supports(w: int, wid: int) -> bool:
+    return w % 128 == 0 and w >= 256 and wid <= 8
+
+
+@functools.lru_cache(maxsize=64)
+def _make_kernel(n_steps: int, S: int, w: int, wid: int):
+    side = 2 * wid + 1
+    win = side + 1
+    BI = -(-S * 8 // 1024) * 1024   # SMEM 1-D blocks: 1024-multiple layout
+    BF = -(-S * 2 // 1024) * 1024
+
+    def kernel(pref_i, pref_f, hbm, out_ref, slab, sem):
+        for s in range(S):
+            row8 = pl.multiple_of(pref_i[s * 8 + 0], 8)
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(row8, ROWS), :], slab.at[s], sem.at[s]
+            ).start()
+        for s in range(S):
+            row8 = pl.multiple_of(pref_i[s * 8 + 0], 8)
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(row8, ROWS), :], slab.at[s], sem.at[s]
+            ).wait()
+        for s in range(S):
+            dy = pref_i[s * 8 + 1]
+            x_al = pl.multiple_of(pref_i[s * 8 + 2], 128)
+            x_rem = pref_i[s * 8 + 3]
+            fx = pref_f[s * 2 + 0]
+            fy = pref_f[s * 2 + 1]
+            # f32 before the roll: Mosaic dynamic_rotate lowers only for
+            # 32-bit element types.
+            w256 = slab[s, :, pl.ds(x_al, 256)].astype(jnp.float32)
+            w256 = pltpu.roll(w256, 256 - x_rem, axis=1)
+            a = w256[:, :win]                                  # (ROWS, 12)
+            p00 = a[: ROWS - 1, :side]
+            p01 = a[: ROWS - 1, 1:win]
+            p10 = a[1:ROWS, :side]
+            p11 = a[1:ROWS, 1:win]
+            interp = (
+                p00 * (1 - fy) * (1 - fx)
+                + p01 * (1 - fy) * fx
+                + p10 * fy * (1 - fx)
+                + p11 * fy * fx
+            )                                                  # (23, side)
+            patch = jnp.zeros((side, side), jnp.float32)
+            for j in range(8):
+                patch = jnp.where(dy == j, interp[j : j + side, :], patch)
+            m = jnp.sum(patch) / (side * side)
+            c = patch - m
+            nrm = jnp.sqrt(jnp.sum(c * c))
+            out_ref[s] = (c / jnp.maximum(nrm, 1e-8)).astype(jnp.bfloat16)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((BI,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((BF,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (S, side, side), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_steps * S, side, side),
+                                       jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((S, ROWS, w), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((S,)),
+        ],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("wid", "S"))
+def sample_normalized_patches(gray, img_idx, centers, wid: int = 5,
+                              S: int = 128):
+    """Gather + bilinear-sample + normalize patches for a sample batch.
+
+    Drop-in for ``normalize_descriptors(bilinear_sample_patches_stack(...))``
+    (same base/clip/inbounds conventions — parity-tested in
+    tests/test_features.py).
+
+    Args:
+      gray: (N, H, W) grayscale stack (any float dtype; sampled in bf16,
+        matching the XLA path's bf16 sampling).
+      img_idx: (...,) int32 image index per sample.
+      centers: (..., 2) float (x, y) patch centers.
+
+    Returns (desc (..., side*side) bf16 zero-mean unit-norm, inbounds (...,)).
+    """
+    n, h, w = gray.shape
+    side = 2 * wid + 1
+    win = side + 1
+    batch_shape = img_idx.shape
+    img = img_idx.reshape(-1).astype(jnp.int32)
+    ctr = centers.reshape(-1, 2)
+    x = ctr[:, 0]
+    y = ctr[:, 1]
+    inb = (
+        (x >= wid + 1) & (x <= w - wid - 2) & (y >= wid + 1) & (y <= h - wid - 2)
+    )
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(jnp.float32)
+    fy = (y - y0).astype(jnp.float32)
+    base_x = jnp.clip(x0.astype(jnp.int32) - wid, 0, w - win)
+    base_y = jnp.clip(y0.astype(jnp.int32) - wid, 0, h - win)
+    row = img * h + base_y
+    row8 = (row // 8) * 8
+    dy = row - row8
+    x_al = jnp.minimum((base_x // 128) * 128, w - 256)
+    x_rem = base_x - x_al
+
+    m = x.shape[0]
+    pad = (-m) % S
+    ints = jnp.stack(
+        [row8, dy, x_al, x_rem] + [jnp.zeros_like(row8)] * 4, axis=1
+    )
+    flts = jnp.stack([fx, fy], axis=1)
+    ints = jnp.pad(ints, ((0, pad), (0, 0)))
+    flts = jnp.pad(flts, ((0, pad), (0, 0)))
+    n_steps = (m + pad) // S
+    BI = -(-S * 8 // 1024) * 1024
+    BF = -(-S * 2 // 1024) * 1024
+    ints = jnp.pad(
+        ints.reshape(n_steps, S * 8), ((0, 0), (0, BI - S * 8))
+    ).reshape(-1)
+    flts = jnp.pad(
+        flts.reshape(n_steps, S * 2), ((0, 0), (0, BF - S * 2))
+    ).reshape(-1)
+
+    flat = gray.astype(jnp.bfloat16).reshape(n * h, w)
+    flat = jnp.pad(flat, ((0, 8), (0, 0)))  # row8 + ROWS can reach n*h + 8
+
+    kern = _make_kernel(n_steps, S, w, wid)
+    desc = kern(ints, flts, flat)[:m].reshape(*batch_shape, side * side)
+    return desc, inb.reshape(batch_shape)

@@ -232,6 +232,73 @@ def test_lowe_ratio_default_matches_documentation():
     assert "sweep_lowe" in parity
 
 
+class TestSlabGather:
+    """Pallas slab-gather descriptor kernel (ops/gather.py) vs the XLA
+    slice-gather path it replaces — same conventions, interpret mode."""
+
+    def _case(self, m=256, n_img=4, h=96, w=640, wid=5, seed=0):
+        rng = np.random.default_rng(seed)
+        gray = (rng.random((n_img, h, w)) * 255).astype(np.float32)
+        img = rng.integers(0, n_img, m).astype(np.int32)
+        xs = rng.uniform(0, w, m).astype(np.float32)  # incl. out-of-bounds
+        ys = rng.uniform(0, h, m).astype(np.float32)
+        return gray, img, np.stack([xs, ys], 1)
+
+    def test_matches_xla_path(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from sfm_tpu.ops.gather import sample_normalized_patches
+        from sfm_tpu.ops.ncc import bilinear_sample_patches_stack
+
+        gray, img, ctr = self._case()
+        patches, inb_want = bilinear_sample_patches_stack(
+            jnp.asarray(gray, jnp.bfloat16), jnp.asarray(img),
+            jnp.asarray(ctr), 5,
+        )
+        want = np.asarray(normalize_descriptors(patches))
+        with pltpu.force_tpu_interpret_mode():
+            got, inb = sample_normalized_patches(
+                jnp.asarray(gray), jnp.asarray(img), jnp.asarray(ctr), 5
+            )
+        np.testing.assert_array_equal(np.asarray(inb), np.asarray(inb_want))
+        ok = np.asarray(inb)
+        err = np.abs(np.asarray(got, np.float32)[ok] - want[ok])
+        assert err.max() < 2e-2  # bf16 patch + bf16 descriptor rounding
+
+    def test_photo_consistency_pallas_parity(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from sfm_tpu.mvs.photoconsistency import photo_consistency
+
+        rng = np.random.default_rng(1)
+        n_img, h, w, m = 6, 96, 640, 128
+        gray = jnp.asarray((rng.random((n_img, h, w)) * 255), jnp.float32)
+        K = jnp.asarray(
+            np.tile(np.array([[300.0, 0, w / 2], [0, 300.0, h / 2],
+                              [0, 0, 1]], np.float32), (n_img, 1, 1)))
+        R = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (n_img, 1, 1)))
+        t = jnp.asarray(np.tile(np.array([0, 0, 0.6], np.float32),
+                                (n_img, 1)))
+        centers = jnp.asarray(
+            rng.standard_normal((m, 3)).astype(np.float32) * 0.01)
+        ref = jnp.asarray(rng.integers(0, n_img, m), jnp.int32)
+        for max_views in (0, 4):  # full sweep and the PMVS-gated path
+            vis0, proj0, s0, c0 = photo_consistency(
+                gray, K, R, t, centers, ref, 0.4, 5, max_views,
+                use_pallas=False,
+            )
+            with pltpu.force_tpu_interpret_mode():
+                vis1, proj1, s1, c1 = photo_consistency(
+                    gray, K, R, t, centers, ref, 0.4, 5, max_views,
+                    use_pallas=True,
+                )
+            # bf16 NCC near the 0.4 threshold can flip a rare borderline
+            # view; scores of agreeing candidates must match tightly.
+            agree = np.asarray(c0) == np.asarray(c1)
+            assert agree.mean() > 0.98
+            assert np.allclose(
+                np.asarray(s0)[agree], np.asarray(s1)[agree], atol=2e-2
+            )
+
+
 def test_pick_tile_respects_vmem_budget():
     """The Pallas Harris tile must shrink with image width: ~23 live
     (tile+8, w) f32 buffers sit on the Mosaic scoped-vmem stack (16 MB);
