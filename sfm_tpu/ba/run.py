@@ -47,6 +47,16 @@ def bundle_adjust(
             recon.calib, recon.world, recon.track_offsets, recon.track_obs,
             dtype=dtype,
         )
+    # Dense-Schur eligibility (joint mode only): longest track bounds the
+    # pair-enumeration span; fall back to PCG past the caps.
+    pair_span = 0
+    if config.refine_cameras and recon.num_tracks:
+        span = int(np.diff(recon.track_offsets).max())
+        if (
+            span <= config.dense_schur_max_span
+            and recon.calib.num_views <= config.dense_schur_max_cams
+        ):
+            pair_span = span
     with timers.stage("solve"):
         if mesh is not None:
             from sfm_tpu.ba.sharded import solve_lm_sharded
@@ -60,6 +70,7 @@ def bundle_adjust(
                 lambda_up=config.lambda_up,
                 lambda_down=config.lambda_down,
                 optimize_cameras=config.refine_cameras,
+                pair_span=pair_span,
             )
         else:
             cams, points, cost, iters = solve_lm(
@@ -70,6 +81,7 @@ def bundle_adjust(
                 lambda_up=config.lambda_up,
                 lambda_down=config.lambda_down,
                 optimize_cameras=config.refine_cameras,
+                pair_span=pair_span,
             )
         points = np.asarray(points)
         cams = np.asarray(cams)
@@ -84,6 +96,10 @@ def bundle_adjust(
         "num_points": recon.num_tracks,
         "num_cameras": recon.calib.num_views,
         "refined_cameras": bool(config.refine_cameras),
+        "camera_solver": (
+            "dense_schur" if pair_span
+            else ("pcg" if config.refine_cameras else "frozen")
+        ),
         "timers": timers.times,
     }
     # Internal optimum rms: per-observation error against the REFINED

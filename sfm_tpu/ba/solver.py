@@ -154,6 +154,63 @@ class _SchurBlocks(NamedTuple):
     V: jnp.ndarray
 
 
+def _dense_schur_dc(problem, W, Vinv, U_lam, g, order, pair_span: int,
+                    axis_name=None):
+    """Solve the reduced camera system S dc = g by DENSE assembly + Cholesky.
+
+    S = U_λ − Σ_p W̃_p V_λp^{-1} W̃_pᵀ.  Observations are sorted by point
+    (``order``), so all pairs of observations sharing a point sit within
+    ``pair_span`` (the longest track) of each other: ``pair_span − 1``
+    shifted passes compute every cross-camera block W_i V^{-1} W_jᵀ and
+    segment-sum them into the (Nc, Nc, 12, 12) grid.  One Jacobi-scaled
+    Cholesky replaces the matrix-free PCG loop — on a mesh that swaps
+    2·cg_iters sequential psums per LM iteration for ONE psum of S
+    (~(12·Nc)² · 4 bytes), the fix for the DCN-latency-bound 2-host
+    projection in tools/comm_model.py.  Masked/padded observations have
+    zero W rows, so their pair contributions vanish without gating.
+
+    Viable for small-to-medium camera counts (S is (12·Nc)²; the caller
+    gates on BaConfig.dense_schur_max_cams).  A non-PD S (extreme f32
+    rounding) yields NaNs, a rejected LM step, and more damping — the same
+    self-healing path as a failed PCG solve.
+    """
+    n_cams = U_lam.shape[0]
+    po = problem.point_idx[order]
+    co = problem.cam_idx[order].astype(jnp.int32)
+    W_s = W[order]                                    # (O, 12, 3)
+    A = jnp.einsum("oij,ojk->oik", W_s, Vinv[po])     # (O, 12, 3) = W V^{-1}
+    nseg = n_cams * n_cams
+
+    def pair_pass(a, w, ci, cj, same):
+        blk = jnp.einsum("oik,ojk->oij", a, w)
+        blk = blk * same[:, None, None].astype(blk.dtype)
+        pid = ci * n_cams + cj
+        return jax.ops.segment_sum(blk.reshape(-1, 144), pid, nseg)
+
+    diag = pair_pass(A, W_s, co, co, jnp.ones(po.shape[0], bool))
+    off = jnp.zeros_like(diag)
+    for d in range(1, pair_span):
+        same = po[:-d] == po[d:]
+        off = off + pair_pass(A[:-d], W_s[d:], co[:-d], co[d:], same)
+    diag = _preduce(diag, axis_name)
+    off = _preduce(off, axis_name)
+    Dm = diag.reshape(n_cams, n_cams, 12, 12)
+    Om = off.reshape(n_cams, n_cams, 12, 12)
+    WVW = Dm + Om + jnp.transpose(Om, (1, 0, 3, 2))   # V^{-1} symmetric
+    S = -WVW
+    ii = jnp.arange(n_cams)
+    S = S.at[ii, ii].add(U_lam)
+    S2 = jnp.transpose(S, (0, 2, 1, 3)).reshape(12 * n_cams, 12 * n_cams)
+    # Jacobi scaling (the x_scale='jac' analogue) keeps the f32 Cholesky
+    # conditioned; cameras with no observations have ~eps diagonals from
+    # the damping and scale to identity rows.
+    dsc = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(S2), 1e-12, None))
+    S2s = S2 * dsc[:, None] * dsc[None, :]
+    L = jnp.linalg.cholesky(S2s)
+    y = jax.scipy.linalg.cho_solve((L, True), g.reshape(-1) * dsc)
+    return (y * dsc).reshape(n_cams, 12)
+
+
 def _lm_impl(
     problem: BAProblem,
     max_iterations: int,
@@ -165,9 +222,20 @@ def _lm_impl(
     cg_iters: int,
     cg_tol: float,
     axis_name=None,
+    pair_span: int = 0,
 ):
     """LM loop body, single-device (axis_name=None) or SPMD under shard_map
-    (observations sharded along axis_name; cams/points replicated)."""
+    (observations sharded along axis_name; cams/points replicated).
+
+    ``pair_span > 0`` (the longest track, host-computed) selects the dense
+    reduced-camera-system solve (_dense_schur_dc) over matrix-free PCG.
+    Under sharding the dense path requires track-aligned observation shards
+    (ba.sharded.shard_problem(track_aligned=True)) so every same-point pair
+    is shard-local."""
+    dense = optimize_cameras and pair_span > 0
+    order = (
+        jnp.argsort(problem.point_idx, stable=True) if dense else None
+    )
 
     def cost_of(cams, points):
         c = total_cost(
@@ -200,9 +268,15 @@ def _lm_impl(
                 ),
                 axis_name,
             )
-            Minv = jnp.linalg.inv(U_lam)
-            mv = lambda x: _schur_matvec(x, sb, Vinv, problem, axis_name)
-            dc = _pcg(mv, g, Minv, cg_iters, cg_tol)
+            if dense:
+                dc = _dense_schur_dc(
+                    problem, blocks.W, Vinv, U_lam, g, order, pair_span,
+                    axis_name,
+                )
+            else:
+                Minv = jnp.linalg.inv(U_lam)
+                mv = lambda x: _schur_matvec(x, sb, Vinv, problem, axis_name)
+                dc = _pcg(mv, g, Minv, cg_iters, cg_tol)
             # Back-substitute points: dp = V^{-1} (b_p − W̃^T dc).
             wtd = jnp.einsum("oij,oi->oj", blocks.W, dc[problem.cam_idx])
             wtd_p = _preduce(
@@ -247,7 +321,9 @@ def _lm_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iterations", "optimize_cameras", "cg_iters"),
+    static_argnames=(
+        "max_iterations", "optimize_cameras", "cg_iters", "pair_span"
+    ),
 )
 def solve_lm(
     problem: BAProblem,
@@ -259,12 +335,15 @@ def solve_lm(
     optimize_cameras: bool = True,
     cg_iters: int = 100,
     cg_tol: float = 1e-6,
+    pair_span: int = 0,
 ):
     """Run LM single-device; returns (cams, points, final_cost, iterations).
 
     The reference optimizes cameras and points jointly and later discards the
     camera solution (SFM.py:181-183); ``optimize_cameras=False`` instead
     freezes cameras in the solve itself (cheaper: no reduced system at all).
+    ``pair_span`` (longest track; 0 disables) selects the dense
+    reduced-camera-system solve over matrix-free PCG — see _dense_schur_dc.
     For the multi-device variant see ba.sharded.solve_lm_sharded.
     """
     return _lm_impl(
@@ -278,4 +357,5 @@ def solve_lm(
         cg_iters=cg_iters,
         cg_tol=cg_tol,
         axis_name=None,
+        pair_span=pair_span,
     )

@@ -192,20 +192,34 @@ def harris_roofline(n_img=48, h=480, w=640, iters=10, use_pallas=None) -> dict:
     }
 
 
-def full_report(iters: int = 5) -> dict:
+def full_report(
+    iters: int = 5,
+    n_img: int = 48,
+    h: int = 480,
+    w: int = 640,
+    n_pairs: int = 47,
+    corners: int = 1024,
+    mvs_m: int = 16384,
+) -> dict:
+    """Roofline accounting at arbitrary pipeline shapes.
+
+    Defaults are the dinoRing bench shapes; tools/stress_scale.py calls it
+    at 96x1280x960 (VERDICT r2 item 6: the stress harness used to record
+    wall only, so which stage saturates first at 4x pixels was inferred,
+    not measured)."""
     import jax
 
     kind = jax.devices()[0].device_kind
     peaks = device_peaks(kind)
-    ceiling = gather_ceiling(iters=iters)
+    ceiling = gather_ceiling(n_slices=mvs_m * 5, h=h, w=w, iters=iters)
     return {
         "device": kind,
         "peak_bf16_tflops": peaks[0] / 1e12 if peaks[0] else None,
         "peak_hbm_gbps": peaks[2] / 1e9 if peaks[2] else None,
-        "matcher": matcher_roofline(iters=iters),
+        "matcher": matcher_roofline(n_pairs=n_pairs, k=corners, iters=iters),
         "gather_ceiling": ceiling,
         "photoconsistency": photoconsistency_roofline(
-            iters=iters, ceiling=ceiling
+            m=mvs_m, n_img=n_img, h=h, w=w, iters=iters, ceiling=ceiling
         ),
-        "harris": harris_roofline(iters=iters),
+        "harris": harris_roofline(n_img=n_img, h=h, w=w, iters=iters),
     }

@@ -256,3 +256,46 @@ class TestPipelineBA:
         assert np.isclose(info_s["final_cost"], info_j["final_cost"],
                           rtol=1e-4)
         assert np.allclose(sharded.world, joint.world, atol=1e-5)
+
+
+def test_dense_schur_matches_pcg(rng):
+    """The dense reduced-camera-system solve (pair_span > 0) must agree
+    with the matrix-free PCG path on the joint problem (ba_solver r3)."""
+    from sfm_tpu.ba.solver import solve_lm
+
+    problem, _ = synthetic_problem(
+        rng, n_cams=5, n_pts=80, noise_3d=0.08, noise_px=0.3
+    )
+    cams_p, pts_p, cost_p, it_p = solve_lm(
+        problem, max_iterations=20, optimize_cameras=True
+    )
+    # Every point is seen by all 5 cameras -> pair span 5.
+    cams_d, pts_d, cost_d, it_d = solve_lm(
+        problem, max_iterations=20, optimize_cameras=True, pair_span=5
+    )
+    # Exact Cholesky vs CG(tol=1e-6): same optimum to solver tolerance.
+    assert np.isclose(float(cost_d), float(cost_p), rtol=1e-5)
+    assert np.allclose(np.asarray(pts_d), np.asarray(pts_p), atol=1e-4)
+    assert np.allclose(np.asarray(cams_d), np.asarray(cams_p), atol=1e-4)
+
+
+def test_dense_schur_sharded_matches_single(rng):
+    """Track-aligned shards + one psum of S: the sharded dense path must
+    reproduce the single-device dense solve (comm-model fix, r3)."""
+    from sfm_tpu.ba.sharded import solve_lm_sharded
+    from sfm_tpu.ba.solver import solve_lm
+    from sfm_tpu.parallel.mesh import data_mesh
+
+    problem, _ = synthetic_problem(
+        rng, n_cams=5, n_pts=100, noise_3d=0.08, noise_px=0.3
+    )
+    mesh = data_mesh()
+    cams_s, pts_s, cost_s, it_s = solve_lm_sharded(
+        problem, mesh, max_iterations=15, optimize_cameras=True, pair_span=5
+    )
+    cams_1, pts_1, cost_1, it_1 = solve_lm(
+        problem, max_iterations=15, optimize_cameras=True, pair_span=5
+    )
+    assert np.isclose(float(cost_s), float(cost_1), rtol=1e-6)
+    assert int(it_s) == int(it_1)
+    assert np.allclose(np.asarray(pts_s), np.asarray(pts_1), atol=1e-6)

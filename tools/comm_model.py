@@ -62,17 +62,39 @@ DCN_BW = 25e9
 DCN_LAT = 50e-6
 
 
-def ba_iter_collectives(n_cams, n_tracks, cg_iters, dtype_bytes=8):
-    """(payload_bytes, n_collectives) for ONE LM iteration."""
+def ba_iter_collectives(n_cams, n_tracks, cg_iters, dtype_bytes=8,
+                        optimize_cameras=True):
+    """(payload_bytes, n_collectives) for ONE LM iteration.
+
+    optimize_cameras=False is the PRODUCTION default (the reference discards
+    refined cameras, SFM.py:181-183, so the engine freezes them): no reduced
+    camera system, no CG, so the sharded solve is ~6 psums/iter and the
+    latency term collapses."""
     b = dtype_bytes
     assemble = b * (156 * n_cams + 12 * n_tracks)          # 4 psums
+    cost = b * 1                                            # 1 psum
+    if not optimize_cameras:
+        return assemble + cost, 4 + 1
     rhs = b * 12 * n_cams                                   # 1 psum
     cg = cg_iters * b * (3 * n_tracks + 12 * n_cams)        # 2 psums/iter
     backsub = b * 3 * n_tracks                              # 1 psum
-    cost = b * 1                                            # 1 psum
     payload = assemble + rhs + cg + backsub + cost
     n_coll = 4 + 1 + 2 * cg_iters + 1 + 1
     return payload, n_coll
+
+
+def ba_iter_collectives_dense_schur(n_cams, n_tracks, dtype_bytes=8):
+    """Joint mode with the DENSE reduced camera system (ba/solver.py dense
+    path): the Schur matrix S (12*Nc x 12*Nc) is assembled with ONE extra
+    psum and factorized replicated — the 2*cg_iters sequential psums
+    disappear entirely."""
+    b = dtype_bytes
+    assemble = b * (156 * n_cams + 12 * n_tracks)          # 4 psums
+    s_dense = b * (12 * n_cams) ** 2                        # 1 psum
+    rhs = b * 12 * n_cams                                   # 1 psum
+    backsub = b * 3 * n_tracks                              # 1 psum
+    cost = b * 1                                            # 1 psum
+    return assemble + s_dense + rhs + backsub + cost, 8
 
 
 def allreduce_time(payload, n_coll, n_dev, n_hosts=1):
@@ -87,10 +109,20 @@ def allreduce_time(payload, n_coll, n_dev, n_hosts=1):
 
 
 def ba_model(name, n_cams, n_tracks, n_obs, lm_iters, cg_iters,
-             t_iter_1chip, dtype_bytes=8, n_dev=8, n_hosts=2):
-    payload, n_coll = ba_iter_collectives(
-        n_cams, n_tracks, cg_iters, dtype_bytes
-    )
+             t_iter_1chip, dtype_bytes=8, n_dev=8, n_hosts=2,
+             mode="joint_pcg"):
+    if mode == "points_only":
+        payload, n_coll = ba_iter_collectives(
+            n_cams, n_tracks, cg_iters, dtype_bytes, optimize_cameras=False
+        )
+    elif mode == "joint_dense":
+        payload, n_coll = ba_iter_collectives_dense_schur(
+            n_cams, n_tracks, dtype_bytes
+        )
+    else:
+        payload, n_coll = ba_iter_collectives(
+            n_cams, n_tracks, cg_iters, dtype_bytes
+        )
     t_comm_1host = allreduce_time(payload, n_coll, n_dev, 1)
     t_comm_2host = allreduce_time(payload, n_coll, n_dev * n_hosts, n_hosts)
     # Compute scales with the sharded axis (observations); the replicated
@@ -104,6 +136,7 @@ def ba_model(name, n_cams, n_tracks, n_obs, lm_iters, cg_iters,
     e2, tc2 = eff(n_dev * n_hosts, t_comm_2host)
     return {
         "problem": name,
+        "mode": mode,
         "shape": {"cams": n_cams, "tracks": n_tracks, "obs": n_obs,
                   "lm_iters": lm_iters, "cg_iters_per_lm": cg_iters},
         "per_lm_iter": {
@@ -210,14 +243,27 @@ def main():
             "dcn_gbps": DCN_BW / 1e9,
             "dcn_collective_latency_us": DCN_LAT * 1e6,
         },
-        "ba_dino48": ba_model(
-            "dinoRing 48 frames", 48, 3075, 8066,
-            lm_iters=12, cg_iters=20, t_iter_1chip=args.t_iter_dino,
-        ),
-        "ba_stress96": ba_model(
-            "stress 96x1280x960", 96, 12000, 32000,
-            lm_iters=12, cg_iters=20, t_iter_1chip=args.t_iter_stress,
-        ),
+        # Three solver modes: points_only is the PRODUCTION default
+        # (refine_cameras=False, the reference's effective contract);
+        # joint_pcg is the matrix-free reduced system; joint_dense is the
+        # dense-Schur path added this round (ba/solver._dense_schur_dc) as
+        # the fix for joint_pcg's DCN-latency-bound 2-host projection.
+        "ba_dino48": {
+            mode: ba_model(
+                "dinoRing 48 frames", 48, 3075, 8066,
+                lm_iters=12, cg_iters=20, t_iter_1chip=args.t_iter_dino,
+                mode=mode,
+            )
+            for mode in ("points_only", "joint_pcg", "joint_dense")
+        },
+        "ba_stress96": {
+            mode: ba_model(
+                "stress 96x1280x960", 96, 12000, 32000,
+                lm_iters=12, cg_iters=20, t_iter_1chip=args.t_iter_stress,
+                mode=mode,
+            )
+            for mode in ("points_only", "joint_pcg", "joint_dense")
+        },
         "mvs_dino48": mvs_round_model(48, 480, 640, 2, 32768,
                                       t_round_1chip=0.15),
         "sfm": {

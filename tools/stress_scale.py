@@ -136,6 +136,18 @@ def main():
         "dense_points": dense2.num_points,
     }), flush=True)
 
+    # Roofline at THIS scale (VERDICT r2 item 6): matcher MFU, gather
+    # ceiling, photo-consistency and Harris rates at 4x pixels — measured,
+    # not inferred from dinoRing shapes.
+    from sfm_tpu.utils.roofline import full_report
+
+    rep = full_report(
+        iters=5, n_img=args.frames, h=args.height, w=args.width,
+        n_pairs=args.frames - 1, corners=args.max_corners,
+        mvs_m=args.round_capacity // 2,
+    )
+    print("ROOFLINE " + json.dumps(rep), flush=True)
+
 
 if __name__ == "__main__":
     main()
