@@ -74,24 +74,51 @@ def make_gather_kernel(n_steps, S, w, wid=5, extract=True, double=True):
             x_rem = pref_i[s * 8 + 3]
             fx = pref_f[s * 2 + 0]
             fy = pref_f[s * 2 + 1]
-            # f32 before the roll: Mosaic's dynamic rotate only lowers for
-            # 32-bit element types (bf16 dynamic_rotate fails verification).
-            w256 = slab[buf, s, :, pl.ds(x_al, 256)].astype(jnp.float32)
-            w256 = pltpu.roll(w256, 256 - x_rem, axis=1)      # window -> lane 0
-            a = w256[:, :win]                                 # (ROWS, 12)
-            p00 = a[: ROWS - 1, :side]
-            p01 = a[: ROWS - 1, 1:win]
-            p10 = a[1:ROWS, :side]
-            p11 = a[1:ROWS, 1:win]
-            interp = (
-                p00 * (1 - fy) * (1 - fx)
-                + p01 * (1 - fy) * fx
-                + p10 * fy * (1 - fx)
-                + p11 * fy * fx
-            )                                                  # (23, 11)
-            patch = jnp.zeros((side, side), jnp.float32)
-            for j in range(8):
-                patch = jnp.where(dy == j, interp[j : j + side, :], patch)
+            if extract == 2:
+                # v2: 8-way row select FIRST (bf16, (win+1, 256)), then the
+                # f32 cast + dynamic roll on the ~2x smaller region.
+                w256b = slab[buf, s, :, pl.ds(x_al, 256)]      # (ROWS,256) bf16
+                rows = w256b[0 : win + 1]
+                for j in range(1, 8):
+                    rows = jnp.where(
+                        dy == j, w256b[j : j + win + 1], rows
+                    )                                          # (13, 256)
+                w = pltpu.roll(
+                    rows.astype(jnp.float32), 256 - x_rem, axis=1
+                )
+                a = w[:, :win]                                 # (13, 12)
+                p00 = a[:win, :side]
+                p01 = a[:win, 1:win]
+                p10 = a[1 : win + 1, :side]
+                p11 = a[1 : win + 1, 1:win]
+                interp = (
+                    p00 * (1 - fy) * (1 - fx)
+                    + p01 * (1 - fy) * fx
+                    + p10 * fy * (1 - fx)
+                    + p11 * fy * fx
+                )                                              # (12, 11)
+                patch = interp[:side, :]
+            else:
+                # f32 before the roll: Mosaic's dynamic rotate only lowers
+                # for 32-bit element types.
+                w256 = slab[buf, s, :, pl.ds(x_al, 256)].astype(jnp.float32)
+                w256 = pltpu.roll(w256, 256 - x_rem, axis=1)   # window->lane 0
+                a = w256[:, :win]                              # (ROWS, 12)
+                p00 = a[: ROWS - 1, :side]
+                p01 = a[: ROWS - 1, 1:win]
+                p10 = a[1:ROWS, :side]
+                p11 = a[1:ROWS, 1:win]
+                interp = (
+                    p00 * (1 - fy) * (1 - fx)
+                    + p01 * (1 - fy) * fx
+                    + p10 * fy * (1 - fx)
+                    + p11 * fy * fx
+                )                                              # (23, 11)
+                patch = jnp.zeros((side, side), jnp.float32)
+                for j in range(8):
+                    patch = jnp.where(
+                        dy == j, interp[j : j + side, :], patch
+                    )
             m = jnp.sum(patch) / (side * side)
             c = patch - m
             nrm = jnp.sqrt(jnp.sum(c * c))
@@ -293,6 +320,9 @@ def main():
             r = run_pallas(args.m, S, extract=True, double=double,
                            iters=args.iters)
             print("E2 full:", json.dumps(r))
+    for S in (32, 128):
+        r = run_pallas(args.m, S, extract=2, double=False, iters=args.iters)
+        print("E3 v2(select-first):", json.dumps(r))
 
 
 if __name__ == "__main__":
