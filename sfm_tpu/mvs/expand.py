@@ -163,27 +163,34 @@ def _expansion_round_impl(
     n_img = gray.shape[0]
     F = f_c.shape[0]
 
-    # --- Candidate enumeration: compact visible HITS first, then expand the
-    # 4 diagonal offsets.  With the view gate a frontier row has at most
-    # max_photo_views - 1 visible entries out of N (the reference view is
-    # never in its own visible set), so hit_cap = F * max_photo_views can
-    # never overflow, while enumerating the dense (F, N, 4) space would make
-    # every downstream pass (vacancy gather, dedup scatter, compaction)
-    # ~N/V times larger than needed.  Ungated (max_photo_views = 0) the cap
-    # degenerates to the full F * N — identical to dense enumeration.
-    hit_ok = (f_valid[:, None] & f_vis).reshape(-1)            # (F*N,)
+    # --- Candidate enumeration: extract visible HITS per frontier row, then
+    # expand the 4 diagonal offsets.  With the view gate a frontier row has
+    # at most max_photo_views - 1 visible entries out of N (the reference
+    # view is never in its own visible set), so the hit list is a row-wise
+    # ``top_k`` over view-index weights — ~2 ms at production shapes, where
+    # a nonzero compaction over the dense (F*N,) flag space costs ~30 ms
+    # (tools/prof_round3.py; nonzero is O(flags scanned), top_k is O(F*K)).
+    # Weights DESCEND with view index so hits emerge view-ascending — the
+    # same patch-major/view-ascending order the flat enumeration produced,
+    # which the scatter-min dedup tie-breaks on (first-come), so winners are
+    # unchanged.  Ungated (max_photo_views = 0) K degenerates to N —
+    # identical to dense enumeration.
     from sfm_tpu.config import resolve_photo_views
 
     photo_views = resolve_photo_views(config.max_photo_views, n_img)
-    v_eff = min(photo_views, n_img) if photo_views > 0 else n_img
-    hit_cap = min(F * n_img, F * v_eff)
-    (hit_sel,) = jnp.nonzero(
-        hit_ok, size=hit_cap, fill_value=hit_ok.shape[0] - 1
-    )
-    hit_valid = hit_ok[hit_sel]
-    hit_patch = (hit_sel // n_img).astype(jnp.int32)           # (H,)
-    hit_img = (hit_sel % n_img).astype(jnp.int32)              # (H,)
-    hit_pix = f_proj.reshape(-1, 2)[hit_sel]                   # (H, 2)
+    gated = 0 < photo_views < n_img
+    k_hit = (photo_views - 1) if gated else n_img
+    w_view = jnp.arange(n_img, 0, -1, dtype=jnp.int32)
+    wv, hit_img2 = jax.lax.top_k(
+        jnp.where(f_valid[:, None] & f_vis, w_view[None, :], 0), k_hit
+    )                                                          # (F, K)
+    hit_cap = F * k_hit
+    hit_valid = (wv > 0).reshape(-1)                           # (H,)
+    hit_img = hit_img2.astype(jnp.int32).reshape(-1)           # (H,)
+    hit_patch = jnp.repeat(jnp.arange(F, dtype=jnp.int32), k_hit)
+    hit_pix = jnp.take_along_axis(
+        f_proj, hit_img2[..., None], axis=1
+    ).reshape(-1, 2)                                           # (H, 2)
     hit_cell = which_cell(hit_pix, config.cell_size)           # (H, 2)
     cand_cell = hit_cell[:, None, :] + _OFFSETS[None]          # (H, 4, 2)
     img_ids = jnp.broadcast_to(hit_img[:, None], (hit_cap, 4))
@@ -278,12 +285,15 @@ def _expansion_round_impl(
     accept = accept & (claim_key >= best[lin]) & jnp.isfinite(claim_key)
 
     # --- Occupancy update: visible hits + own target/ref cells. ---
-    hit_cells_new = which_cell(proj, config.cell_size)          # (C, N, 2)
-    img_ids_all = jnp.broadcast_to(
-        jnp.arange(n_img, dtype=jnp.int32)[None, :], vis.shape
-    )
+    # Same top_k extraction as the hit enumeration above: an accepted
+    # patch's visible set has at most k_hit entries, so scatter C*K masked
+    # cells instead of the dense C*N (a ~12x smaller scatter at V=5/N=48).
+    wa, fill_img = jax.lax.top_k(
+        jnp.where(vis & accept[:, None], w_view[None, :], 0), k_hit
+    )                                                           # (C, K)
+    fill_pix = jnp.take_along_axis(proj, fill_img[..., None], axis=1)
     occupancy = fill_cells(
-        occupancy, img_ids_all, hit_cells_new, vis & accept[:, None]
+        occupancy, fill_img, which_cell(fill_pix, config.cell_size), wa > 0
     )
     occupancy = fill_cells(occupancy, img, cell, accept)
 

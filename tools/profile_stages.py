@@ -42,6 +42,7 @@ def main():
         print(f"== {run} ==  sfm {t_sfm:.2f}s  ba {t_ba:.2f}s  mvs {t_mvs:.2f}s"
               f"  dense_points {dense.num_points}")
         print("sfm timers:", recon.timers.summary() if recon.timers else "-")
+        print("ba timers:", info.get("timers"), "iters:", info.get("iterations"))
         print("mvs timers:", dense.timers.summary() if dense.timers else "-")
         print("mvs metrics:", dense.metrics.summary())
         sys.stdout.flush()
