@@ -73,10 +73,11 @@ def build_problem(
     cam_idx = track_obs[:, 0].astype(np.int64)
     obs_2d = track_obs[:, 1:3].astype(np.float64)
 
-    rv = np.asarray(rodrigues_vector(jnp.asarray(calib.R)))
-    cams = np.asarray(
-        pack_cam(jnp.asarray(calib.K), jnp.asarray(rv), jnp.asarray(calib.t))
-    )
+    # Stays on device end-to-end: np.asarray here would pay two blocking
+    # device->host fetches (~23 ms fixed each over a remote-TPU link) just
+    # to re-upload the result; BAProblem.cams is a device array anyway.
+    rv = rodrigues_vector(jnp.asarray(calib.R))
+    cams = pack_cam(jnp.asarray(calib.K), rv, jnp.asarray(calib.t))
 
     o_pad = _pad_len(n_obs, pad_to)
     pad = o_pad - n_obs

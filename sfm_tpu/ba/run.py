@@ -22,11 +22,28 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from sfm_tpu.ba.problem import build_problem
 from sfm_tpu.ba.solver import solve_lm
 from sfm_tpu.config import BaConfig
 from sfm_tpu.sfm.pipeline import SparseReconstruction
 from sfm_tpu.utils.metrics import StageTimer
+
+
+@jax.jit
+def _pack_solution(cams, points, cost, iters):
+    """Fuse the solver outputs into ONE flat array so the host pays a single
+    device->host fetch instead of four (cams, points, float(cost), int(iters)
+    each cost a fixed ~23 ms over a remote-TPU link)."""
+    dt = points.dtype
+    return jnp.concatenate(
+        [
+            cams.reshape(-1).astype(dt),
+            points.reshape(-1).astype(dt),
+            jnp.stack([cost.astype(dt), iters.astype(dt)]),
+        ]
+    )
 
 
 def bundle_adjust(
@@ -83,8 +100,12 @@ def bundle_adjust(
                 optimize_cameras=config.refine_cameras,
                 pair_span=pair_span,
             )
-        points = np.asarray(points)
-        cams = np.asarray(cams)
+        packed = np.asarray(_pack_solution(cams, points, cost, iters))
+        nc = 12 * problem.cams.shape[0]
+        npts = 3 * problem.points.shape[0]
+        cams = packed[:nc].reshape(-1, 12)
+        points = packed[nc : nc + npts].reshape(-1, 3)
+        cost, iters = packed[nc + npts], packed[nc + npts + 1]
 
     recon.world = points[: recon.num_tracks].astype(np.float64)
     if track_store is not None:
