@@ -125,7 +125,16 @@ def _make_pair_program(config: PipelineConfig, num_matches: int, mesh=None):
     those of the single-device map.
     """
     step = _make_pair_step(config, num_matches)
-    local = lambda args: jax.lax.map(step, args)  # noqa: E731
+
+    def local(args):
+        geo, stats, F = jax.lax.map(step, args)
+        # Fuse the tiny per-pair stats row into the geo payload: the host
+        # stage then pays ONE fetch for the whole stage instead of two
+        # (each fetch costs a fixed ~23 ms over a remote-TPU link).
+        srow = jnp.pad(
+            stats, ((0, 0), (0, geo.shape[2] - stats.shape[1]))
+        )
+        return jnp.concatenate([geo, srow[:, None, :]], axis=1), F
     if mesh is None:
         # Single-device: gather the per-pair argument stacks INSIDE the
         # program — building them eagerly costs 14 separate device
@@ -315,7 +324,7 @@ def structure_from_motion(
             config, config.features.max_matches, mesh
         )
         if mesh is None:
-            geo_d, stats_d, F_d = run_pairs(
+            geo_d, F_d = run_pairs(
                 fs.descriptors, fs.valid, fs.corners, P, K, R, t,
                 jnp.asarray(ia, jnp.int32), jnp.asarray(ib, jnp.int32),
                 keys,
@@ -332,11 +341,13 @@ def structure_from_motion(
                 K[ia], R[ia], t[ia], K[ib], R[ib], t[ib],
                 keys,
             )
-            geo_d, stats_d, F_d = run_pairs(args)
-        # TWO host fetches for the whole stage (geo + stats); F only under
-        # --debug — each extra array costs a fixed ~23 ms over the tunnel.
-        geo = np.asarray(geo_d)[:n_pairs]
-        stats = np.asarray(stats_d)[:n_pairs]
+            geo_d, F_d = run_pairs(args)
+        # ONE host fetch for the whole stage (stats ride as the last geo
+        # row); F only under --debug — each extra array costs a fixed
+        # ~23 ms over the tunnel.
+        payload = np.asarray(geo_d)[:n_pairs]
+        geo = payload[:, :-1]
+        stats = payload[:, -1, :4]
         p1_h = geo[..., 0:2].astype(np.int32)
         p2_h = geo[..., 2:4].astype(np.int32)
         X_h = geo[..., 4:7].astype(np.float64)

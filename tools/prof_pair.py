@@ -40,12 +40,13 @@ keys = jax.random.split(jax.random.PRNGKey(0), NP_)
 ia = np.arange(NP_)
 ib = ia + 1
 
+ia_d = jnp.asarray(ia, jnp.int32)
+ib_d = jnp.asarray(ib, jnp.int32)
 for hyp in (512, 128):
     cfg = PipelineConfig(ransac=RansacConfig(num_hypotheses=hyp))
     prog = _make_pair_program(cfg, M_)
-    args = (desc[ia], val[ia], cor[ia], desc[ib], val[ib], cor[ib],
-            P[ia], P[ib], Km[ia], Rm[ia], tm[ia], Km[ib], Rm[ib], tm[ib], keys)
-    print(f"pair program hyp={hyp}: {timeit(lambda: prog(args))*1e3:.0f} ms")
+    print(f"pair program hyp={hyp}: "
+          f"{timeit(lambda: prog(desc, val, cor, P, Km, Rm, tm, ia_d, ib_d, keys))*1e3:.0f} ms")
 
 # matcher alone over 47 pairs (lax.map)
 @jax.jit
