@@ -56,8 +56,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--skip-mvs", action="store_true")
-    ap.add_argument("--warm", type=int, default=1,
-                    help="timed runs after the cold (compile) run")
+    ap.add_argument("--warm", type=int, default=2,
+                    help="timed runs after the cold (compile) run; the "
+                         "headline is the fastest (remote-tunnel fetch "
+                         "latency varies ~10%% run to run)")
     ap.add_argument("--data", default="/root/reference/dinoRing")
     ap.add_argument("--no-roofline", action="store_true",
                     help="skip the MFU/bandwidth kernel accounting")
