@@ -310,7 +310,11 @@ def structure_from_motion(
             config.features, use_pallas, mesh
         )
         fs: FeatureSet = run_features(gray)
-        jax.block_until_ready(fs.descriptors)
+        # No barrier: the pair program consumes the features ON DEVICE, and a
+        # block_until_ready here costs a remote round-trip purely for timer
+        # attribution.  The "features" timer therefore records dispatch only;
+        # feature compute lands in pair_geometry's wall (total is unchanged
+        # and smaller).
 
     with timers.stage("pair_geometry"):
         K = jnp.asarray(calib.K.astype(np.float32))
