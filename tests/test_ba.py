@@ -299,3 +299,52 @@ def test_dense_schur_sharded_matches_single(rng):
     assert np.isclose(float(cost_s), float(cost_1), rtol=1e-6)
     assert int(it_s) == int(it_1)
     assert np.allclose(np.asarray(pts_s), np.asarray(pts_1), atol=1e-6)
+
+
+def test_bundle_adjust_packed_fetch_matches_solver(dino_images, dino_calib):
+    """bundle_adjust fetches the solution as ONE fused device array
+    (ba.run._pack_solution, round 3: four fixed-latency fetches -> one);
+    the unpack slicing must reproduce solve_lm's outputs exactly, in both
+    the frozen-camera and joint modes."""
+    import copy
+
+    from sfm_tpu.ba.problem import build_problem
+    from sfm_tpu.sfm import structure_from_motion
+
+    imgs, _ = dino_images
+    cfg = PipelineConfig(
+        features=FeatureConfig(max_corners=1024, max_matches=512),
+    )
+    recon0 = structure_from_motion(imgs, dino_calib.subset(range(8)), cfg)
+
+    for refine in (False, True):
+        recon = copy.deepcopy(recon0)
+        ba_cfg = BaConfig(dtype="float64", refine_cameras=refine)
+        problem = build_problem(
+            recon.calib, recon.world, recon.track_offsets, recon.track_obs,
+            dtype=jnp.float64,
+        )
+        pair_span = 0
+        if refine:
+            pair_span = int(np.diff(recon.track_offsets).max())
+        cams_d, pts_d, cost_d, it_d = solve_lm(
+            problem,
+            max_iterations=ba_cfg.max_iterations,
+            ftol=ba_cfg.ftol,
+            init_lambda=ba_cfg.init_lambda,
+            lambda_up=ba_cfg.lambda_up,
+            lambda_down=ba_cfg.lambda_down,
+            optimize_cameras=refine,
+            pair_span=pair_span,
+        )
+        recon, info = bundle_adjust(recon, ba_cfg)
+        n_tracks = recon.world.shape[0]
+        assert np.allclose(
+            recon.world, np.asarray(pts_d)[:n_tracks], atol=1e-12
+        )
+        assert np.isclose(info["final_cost"], float(cost_d), rtol=1e-12)
+        assert info["iterations"] == int(it_d)
+        if refine:
+            assert np.allclose(
+                info["cams11"], np.asarray(cams_d), atol=1e-12
+            )
