@@ -181,11 +181,20 @@ def _expansion_round_impl(
     gated = 0 < photo_views < n_img
     k_hit = (photo_views - 1) if gated else n_img
     w_view = jnp.arange(n_img, 0, -1, dtype=jnp.int32)
+    hit_flags = f_valid[:, None] & f_vis
     wv, hit_img2 = jax.lax.top_k(
-        jnp.where(f_valid[:, None] & f_vis, w_view[None, :], 0), k_hit
+        jnp.where(hit_flags, w_view[None, :], 0), k_hit
     )                                                          # (F, K)
     hit_cap = F * k_hit
     hit_valid = (wv > 0).reshape(-1)                           # (H,)
+    # No silent caps: a frontier built by the same gate carries <= k_hit
+    # visible views per row, so this is 0; a future caller violating the
+    # bound shows up as a counted metric (mvs_hits_over_k), not dropped
+    # work.
+    hits_dropped = (
+        jnp.sum(hit_flags.astype(jnp.int32))
+        - jnp.sum(hit_valid.astype(jnp.int32))
+    )
     hit_img = hit_img2.astype(jnp.int32).reshape(-1)           # (H,)
     hit_patch = jnp.repeat(jnp.arange(F, dtype=jnp.int32), k_hit)
     hit_pix = jnp.take_along_axis(
@@ -312,5 +321,6 @@ def _expansion_round_impl(
     packed = pack_patch_payload(c_new, n_new, score, ref_pix, img, accept)
     tail = jnp.zeros((1, packed.shape[1]), jnp.float32)
     tail = tail.at[0, 0].set(n_candidates.astype(jnp.float32))
+    tail = tail.at[0, 1].set(hits_dropped.astype(jnp.float32))
     packed = jnp.concatenate([packed, tail], axis=0)
     return accepted, occupancy, packed

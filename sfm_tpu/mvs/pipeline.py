@@ -324,6 +324,7 @@ def dense_reconstruction(
     backlog_merge_s = 0.0
     backlog_rounds = 0
     last_n_acc = 0
+    hits_over_k = 0
     with timers.stage("expand"):
         pending = None  # prefetched chunk whose payload is not yet read
         while rounds < config.max_rounds and total < config.max_patches:
@@ -380,6 +381,7 @@ def dense_reconstruction(
                 last_n_acc = n_acc
                 n_cand = int(ph[r, cap, 0])
                 dropped_candidates += max(0, n_cand - cap)
+                hits_over_k += int(ph[r, cap, 1])
                 rounds += 1
                 if n_acc == 0:
                     # Frontier dry — but deferred seed-overflow patches (if
@@ -424,6 +426,11 @@ def dense_reconstruction(
     # to later rounds by the vacancy test, but an unexpectedly large count
     # here signals the capacity knob should grow.
     metrics.record("mvs_candidates_over_capacity", dropped_candidates)
+    if hits_over_k:
+        # Visible hits beyond the per-row top_k bound (expand.py): 0 by
+        # construction for frontiers built by the same view gate; nonzero
+        # means a caller violated the bound and hits were dropped.
+        metrics.record("mvs_hits_over_k", hits_over_k)
 
     points = np.concatenate(all_c).astype(np.float32)
     colors = np.concatenate(all_color).astype(np.uint8)
