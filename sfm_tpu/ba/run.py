@@ -64,16 +64,18 @@ def bundle_adjust(
             recon.calib, recon.world, recon.track_offsets, recon.track_obs,
             dtype=dtype,
         )
-    # Dense-Schur eligibility (joint mode only): longest track bounds the
-    # pair-enumeration span; fall back to PCG past the caps.
+    # Dense-Schur eligibility (joint mode only): S is (12*Nc)^2, so gate on
+    # the camera count; track length no longer matters (the round-4 assembly
+    # is one scatter + matmul, program size independent of span).  pair_span
+    # is now just the on/off flag — pass 1 so the compiled program is shared
+    # across datasets with different longest tracks.
     pair_span = 0
-    if config.refine_cameras and recon.num_tracks:
-        span = int(np.diff(recon.track_offsets).max())
-        if (
-            span <= config.dense_schur_max_span
-            and recon.calib.num_views <= config.dense_schur_max_cams
-        ):
-            pair_span = span
+    if (
+        config.refine_cameras
+        and recon.num_tracks
+        and recon.calib.num_views <= config.dense_schur_max_cams
+    ):
+        pair_span = 1
     with timers.stage("solve"):
         if mesh is not None:
             from sfm_tpu.ba.sharded import solve_lm_sharded

@@ -108,11 +108,14 @@ class BaConfig:
     # Solve in float64 on CPU-backed meshes for parity checks; float32 on TPU.
     dtype: str = "float32"
     # Joint-mode reduced camera system: assemble S = U − W V⁻¹ Wᵀ DENSELY
-    # and Cholesky-solve it (ba.solver._dense_schur_dc) when the camera
-    # count and longest track stay under these caps; otherwise matrix-free
-    # PCG.  The dense path removes the 2-psums-per-CG-iteration sequential
-    # collectives that make sharded joint BA DCN-latency-bound
-    # (tools/comm_model.py), and is faster single-device at rig scale.
+    # (scatter + one MXU matmul, ba.solver._dense_schur_dc) and
+    # Cholesky-solve it when the camera count stays under this cap
+    # (S is (12·Nc)²); otherwise matrix-free PCG.  The dense path removes
+    # the 2-psums-per-CG-iteration sequential collectives that make sharded
+    # joint BA DCN-latency-bound (tools/comm_model.py), and is faster
+    # single-device at rig scale.  Since round 4 the assembly is
+    # span-independent, so longest-track length no longer gates it
+    # (dense_schur_max_span kept only for CLI/back-compat; unused).
     dense_schur_max_cams: int = 256
     dense_schur_max_span: int = 64
 
