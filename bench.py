@@ -56,10 +56,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--skip-mvs", action="store_true")
-    ap.add_argument("--warm", type=int, default=2,
+    ap.add_argument("--warm", type=int, default=3,
                     help="timed runs after the cold (compile) run; the "
-                         "headline is the fastest (remote-tunnel fetch "
-                         "latency varies ~10%% run to run)")
+                         "headline is the fastest, and the JSON also "
+                         "reports the mean and every sample (remote-tunnel "
+                         "fetch latency varies ~10%% run to run)")
     ap.add_argument("--data", default="/root/reference/dinoRing")
     ap.add_argument("--no-roofline", action="store_true",
                     help="skip the MFU/bandwidth kernel accounting")
@@ -161,6 +162,10 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "wall_s": round(wall, 2),
+        "wall_mean_s": round(
+            sum(warm_total) / len(warm_total) if warm_total else cold_s, 2
+        ),
+        "wall_samples_s": [round(w, 2) for w in warm_total],
         "cold_s": round(cold_s, 2),
         "cold_attribution": {
             "tunnel_init_s": round(tunnel_init_s, 2),

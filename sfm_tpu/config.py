@@ -176,8 +176,15 @@ def resolve_photo_views(max_photo_views: int, n_images: int) -> int:
     -1 (auto) -> 5 on dense multi-view rigs (>= 16 images, where the
     geometric view gate was tuned and measured to *raise* mean NCC), else 0
     (score all views — the reference's exact semantics, MVS2.py:62-77).
-    Explicit values pass through (0 = all views).
+    Explicit values pass through (0 = all views).  1 is rejected: it would
+    mean "reference view only" — zero views to NCC-score against (and a
+    degenerate k=0 top_k in the expansion hit compaction).
     """
+    if max_photo_views == 1:
+        raise ValueError(
+            "max_photo_views=1 leaves no non-reference view to score; "
+            "use 0 (all views) or >= 2"
+        )
     if max_photo_views < 0:
         return 5 if n_images >= 16 else 0
     return max_photo_views

@@ -594,3 +594,20 @@ class TestOutlierFilterExactPairwise:
                         removed[p2] = True
                         break
         np.testing.assert_array_equal(keep, ~removed)
+
+
+def test_max_photo_views_one_rejected():
+    """max_photo_views=1 would leave zero non-reference views to NCC-score
+    (and a degenerate k=0 top_k in expansion hit compaction — ADVICE r3);
+    it must be rejected with a clear error at config resolution."""
+    import pytest as _pytest
+
+    from sfm_tpu.config import resolve_photo_views
+
+    with _pytest.raises(ValueError, match="max_photo_views"):
+        resolve_photo_views(1, 48)
+    # The legal neighbors still resolve.
+    assert resolve_photo_views(0, 48) == 0
+    assert resolve_photo_views(2, 48) == 2
+    assert resolve_photo_views(-1, 48) == 5
+    assert resolve_photo_views(-1, 8) == 0
