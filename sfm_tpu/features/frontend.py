@@ -14,7 +14,10 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.config import FeatureConfig
-from sfm_tpu.ops.gather import sample_normalized_patches, supports as _gather_ok
+from sfm_tpu.ops.gather import (
+    sample_normalized_patches,
+    supports_or_note as _gather_ok,
+)
 from sfm_tpu.ops.harris import detect_corners
 from sfm_tpu.ops.patches import extract_patches, normalize_descriptors
 from sfm_tpu.utils.platform import use_pallas as _use_pallas
@@ -60,7 +63,9 @@ def detect_and_describe(
         k=config.harris_k,
         use_pallas=use_pallas,
     )
-    if _use_pallas(use_pallas) and _gather_ok(gray.shape[2], config.desc_wid):
+    if _use_pallas(use_pallas) and _gather_ok(
+        gray.shape[2], config.desc_wid, "features.detect_and_describe"
+    ):
         # Slab-gather kernel (ops/gather.py): ~6x the XLA slice-gather rate
         # at (48, 1024) corners.  Integer centers -> fx = fy = 0, so the
         # bilinear taps reduce to exact pixel reads.

@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from sfm_tpu.geometry.projection import project_pinhole
-from sfm_tpu.ops.gather import sample_normalized_patches, supports as _gather_ok
+from sfm_tpu.ops.gather import (
+    sample_normalized_patches,
+    supports_or_note as _gather_ok,
+)
 from sfm_tpu.ops.ncc import (
     bilinear_sample_patches,
     bilinear_sample_patches_stack,
@@ -108,7 +111,9 @@ def photo_consistency(
       vis_count: (M,) int32 number of visible (non-reference) views.
     """
     n_img = gray.shape[0]
-    pallas = _use_pallas(use_pallas) and _gather_ok(gray.shape[2], wid)
+    pallas = _use_pallas(use_pallas) and _gather_ok(
+        gray.shape[2], wid, "mvs.photo_consistency"
+    )
     if 0 < max_views < n_img:
         return _photo_consistency_gated(
             gray, K, R, t, centers, ref_idx, min_ncc, wid, max_views, pallas
