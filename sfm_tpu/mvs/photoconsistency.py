@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from sfm_tpu.geometry.projection import project_pinhole
 from sfm_tpu.ops.gather import (
     sample_normalized_patches,
+    sample_normalized_patches_sharded,
     supports_or_note as _gather_ok,
 )
 from sfm_tpu.ops.ncc import (
@@ -78,7 +79,7 @@ def unpack_patch_payload(ph, images):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wid", "max_views", "use_pallas")
+    jax.jit, static_argnames=("wid", "max_views", "use_pallas", "mesh")
 )
 def photo_consistency(
     gray,            # (N, H, W) float32 grayscale stack
@@ -89,6 +90,7 @@ def photo_consistency(
     wid: int = 5,
     max_views: int = 0,
     use_pallas=None,
+    mesh=None,       # multi-device: shard_map the Pallas gather over M
 ):
     """Score M candidates against all N views.
 
@@ -116,7 +118,8 @@ def photo_consistency(
     )
     if 0 < max_views < n_img:
         return _photo_consistency_gated(
-            gray, K, R, t, centers, ref_idx, min_ncc, wid, max_views, pallas
+            gray, K, R, t, centers, ref_idx, min_ncc, wid, max_views, pallas,
+            mesh,
         )
     m = centers.shape[0]
     side2 = (2 * wid + 1) ** 2
@@ -140,9 +143,14 @@ def photo_consistency(
         img_b = jnp.broadcast_to(
             jnp.arange(n_img, dtype=jnp.int32)[None, :], (m, n_img)
         )
-        desc, inb = sample_normalized_patches(
-            gray, img_b, proj.astype(jnp.float32), wid
-        )                                          # (M, N, D) bf16, (M, N)
+        if mesh is not None:
+            desc, inb = sample_normalized_patches_sharded(
+                gray, img_b, proj.astype(jnp.float32), wid, mesh
+            )
+        else:
+            desc, inb = sample_normalized_patches(
+                gray, img_b, proj.astype(jnp.float32), wid
+            )                                      # (M, N, D) bf16, (M, N)
     else:
         gray_s = gray.astype(jnp.bfloat16)
 
@@ -184,6 +192,7 @@ def photo_consistency(
 def _photo_consistency_gated(
     gray, K, R, t, centers, ref_idx, min_ncc, wid: int, max_views: int,
     pallas: bool = False,
+    mesh=None,
 ):
     """Top-(max_views-1) geometric view selection + one stacked gather sweep.
 
@@ -239,10 +248,17 @@ def _photo_consistency_gated(
     )                                                     # (M, V, 2)
     if pallas:
         # Pallas slab-gather kernel (ops/gather.py): 6.2x the XLA
-        # slice-gather rate on the sweep's M x V samples.
-        desc, inb_v = sample_normalized_patches(
-            gray, vidx, pix_v.astype(jnp.float32), wid
-        )                                                 # (M, V, D) bf16
+        # slice-gather rate on the sweep's M x V samples.  Under a mesh the
+        # kernel runs per-device via shard_map (round 4 — previously the
+        # sharded round silently fell back to the XLA gather).
+        if mesh is not None:
+            desc, inb_v = sample_normalized_patches_sharded(
+                gray, vidx, pix_v.astype(jnp.float32), wid, mesh
+            )
+        else:
+            desc, inb_v = sample_normalized_patches(
+                gray, vidx, pix_v.astype(jnp.float32), wid
+            )                                             # (M, V, D) bf16
     else:
         patches, inb_v = bilinear_sample_patches_stack(
             gray.astype(jnp.bfloat16), vidx, pix_v, wid

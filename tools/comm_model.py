@@ -188,7 +188,13 @@ def mvs_round_model(n_img, h, w, cell_size, round_capacity,
         "note": (
             "MVS rounds are compute-dominated: two large, infrequent "
             "collectives per ~35 ms round; scaling efficiency is set by "
-            "per-shard candidate balance, not by comm."
+            "per-shard candidate balance, not by comm.  t_round_1chip is "
+            "the MEASURED single-chip Pallas-path round wall, and since "
+            "round 4 the sharded round runs the same Pallas slab-gather "
+            "per device (shard_map, ops/gather.py) rather than the ~6x "
+            "slower XLA gather round 3 silently pinned — so the per-chip "
+            "compute rate this model divides by is the rate the sharded "
+            "code actually achieves."
         ),
     }
 
