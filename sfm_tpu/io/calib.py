@@ -90,3 +90,23 @@ def read_pars(path: str) -> Calibration:
     return Calibration(
         K=np.stack(Ks), R=np.stack(Rs), t=np.stack(ts), names=tuple(names)
     )
+
+
+def write_pars(path: str, calib: Calibration) -> None:
+    """Write a :class:`Calibration` as a Middlebury ``*_par.txt`` file —
+    the exact inverse of :func:`read_pars` (same row layout the reference
+    parses at utils.py:56-81).  Used to materialize synthetic datasets on
+    disk so the CLI can be driven exactly like the reference's
+    run_temple.sh invocation."""
+    with open(path, "w") as f:
+        f.write(f"{calib.num_views}\n")
+        for i in range(calib.num_views):
+            vals = np.concatenate(
+                [calib.K[i].reshape(-1), calib.R[i].reshape(-1), calib.t[i]]
+            )
+            f.write(
+                calib.names[i]
+                + " "
+                + " ".join(f"{v:.17g}" for v in vals)
+                + "\n"
+            )

@@ -130,6 +130,11 @@ def dense_reconstruction(
             k: jnp.asarray(state["f_" + k])
             for k in ("c", "n", "vis", "proj", "valid")
         }
+        # Valid rows in the restored (not-yet-dispatched) frontier: the
+        # backlog-merge accounting needs it (round 4 — initializing it to 0
+        # made every post-resume merge undercount the live backlog by one
+        # frontier's worth and drop pending patches when it drained).
+        fr_valid = int(np.asarray(state["f_valid"]).sum())
         backlog = None
         bl_count = 0
         if "b_c" in state:
@@ -267,12 +272,13 @@ def dense_reconstruction(
         frontier, backlog = _split_frontier(seeds, config.round_capacity)
         # Exact live backlog count, tracked on host with NO device fetch:
         # the split keeps the first `cap` valid rows, so the deferred count
-        # is n_seeds - cap; each later merge updates it from the fetched
-        # accepted count (see the loop).
+        # is n_seeds - cap; each later merge updates it from the valid-row
+        # count of the frontier being folded back in (see the loop).
         bl_count = (
             max(0, n_seeds - config.round_capacity)
             if backlog is not None else 0
         )
+        fr_valid = n_seeds - bl_count
         if backlog is not None and bl_count == 0:
             backlog = None
         if bl_count:
@@ -280,6 +286,12 @@ def dense_reconstruction(
         dropped_candidates = 0
         rounds = 0
     cap = config.round_capacity
+    # A fresh split already leaves the OLDEST `cap` valid seeds in the
+    # frontier — merging before the first dispatch would both invert FIFO
+    # order (backlog rows would jump ahead of never-dispatched seeds) and
+    # waste a device program.  A resumed frontier is a round's accepted
+    # output (newest), so there the pre-dispatch merge IS the FIFO order.
+    skip_first_merge = not resumed
 
     def _save_state():
         st = {
@@ -323,27 +335,35 @@ def dense_reconstruction(
 
     backlog_merge_s = 0.0
     backlog_rounds = 0
-    last_n_acc = 0
     hits_over_k = 0
     with timers.stage("expand"):
         pending = None  # prefetched chunk whose payload is not yet read
         while rounds < config.max_rounds and total < config.max_patches:
             if pending is None:
-                if bl_count:
+                if bl_count and not skip_first_merge:
                     # Device-side merge (row gathers, ~70 ns/row) — the old
                     # host round-trip cost ~0.16 s PER ROUND over the remote
                     # link (VERDICT r2 item 8; tools/prof_backlog.py).  The
                     # dispatch is async; the accumulated time here is issue
-                    # cost only.
+                    # cost only.  Accounting: the merge folds bl_count
+                    # backlog rows + fr_valid frontier rows into the next
+                    # frontier (capped at `cap`); the remainder is the new
+                    # backlog.  (Round 4 fix: the old update used the LAST
+                    # FETCHED accepted count, which is 0 right after a
+                    # resume — a permanent undercount that dropped pending
+                    # patches when the backlog drained.)
                     import time as _time
 
                     _t0 = _time.perf_counter()
                     frontier, backlog = _merge_backlog(frontier, backlog, cap)
                     backlog_merge_s += _time.perf_counter() - _t0
                     backlog_rounds += 1
-                    bl_count = max(0, bl_count + last_n_acc - cap)
+                    pending_rows = bl_count + fr_valid
+                    bl_count = max(0, pending_rows - cap)
+                    fr_valid = min(pending_rows, cap)
                     if bl_count == 0:
                         backlog = None
+                skip_first_merge = False
                 packed = _dispatch()
             else:
                 packed, pending = pending, None
@@ -378,7 +398,7 @@ def dense_reconstruction(
                     ph[r, :cap], images
                 )
                 n_acc = int(acc_valid.sum())
-                last_n_acc = n_acc
+                fr_valid = n_acc
                 n_cand = int(ph[r, cap, 0])
                 dropped_candidates += max(0, n_cand - cap)
                 hits_over_k += int(ph[r, cap, 1])

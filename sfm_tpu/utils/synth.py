@@ -66,10 +66,22 @@ def irregular_rig(n: int, radius: float = 3.0, seed: int = 7,
     return np.stack([r * np.cos(angs), y, r * np.sin(angs)], axis=1)
 
 
-def make_texture(seed: int, strength: float = 1.0, n_freq: int = 48):
-    """Random-Fourier 3-D texture field -> [0, 255] grayscale."""
+def make_texture(seed: int, strength: float = 1.0, n_freq: int = 48,
+                 freq_scale: float = 1.0):
+    """Random-Fourier 3-D texture field -> [0, 255] grayscale.
+
+    ``freq_scale`` multiplies the spatial frequencies: the 8-40 rad/unit
+    default was tuned for 320-px renders (the top frequency is ~30 px/cycle
+    there); at higher resolutions the same field is ~flat inside an 11-px
+    patch and matching collapses (measured: ring(16) at 640x480 yields 27
+    tracks vs 455 at 320x240).  Pass ~w/320 to keep per-patch contrast
+    resolution-invariant."""
     rng = np.random.default_rng(seed)
-    omega = rng.normal(size=(n_freq, 3)) * rng.uniform(8, 40, (n_freq, 1))
+    omega = (
+        rng.normal(size=(n_freq, 3))
+        * rng.uniform(8, 40, (n_freq, 1))
+        * freq_scale
+    )
     phase = rng.uniform(0, 2 * np.pi, n_freq)
     amp = rng.uniform(0.5, 1.0, n_freq) / np.sqrt(n_freq)
 
@@ -89,6 +101,7 @@ def render_scene(
     fy: float | None = None,
     spheres: Sequence[Tuple[Sequence[float], float]] = (((0, 0, 0), 1.0),),
     texture_strength: float = 1.0,
+    texture_freq_scale: float | None = None,
     target: Sequence[float] = (0, 0, 0),
     seed: int = 0,
 ) -> Tuple[np.ndarray, Calibration]:
@@ -102,6 +115,8 @@ def render_scene(
         sphere OCCLUDES the first from some views.
       texture_strength: 1.0 = stress-scale texture; ~0.08 approaches the
         matcher/NCC noise floor (weak-texture scene).
+      texture_freq_scale: spatial-frequency multiplier; default w/320 keeps
+        per-patch contrast resolution-invariant (see make_texture).
 
     Returns (images uint8 (N, H, W, 3), exact Calibration).
     """
@@ -110,8 +125,13 @@ def render_scene(
     fy = fx if fy is None else fy
     K = np.array([[fx, 0, w / 2], [0, fy, h / 2], [0, 0, 1]], np.float64)
     target = np.asarray(target, np.float64)
+    if texture_freq_scale is None:
+        # max(1, ...) keeps every <= 320-px render (the tuned regime: scene
+        # tests, small fixtures) bit-identical to the pre-round-4 field.
+        texture_freq_scale = max(1.0, w / 320.0)
     textures = [
-        make_texture(seed + 11 * i, texture_strength)
+        make_texture(seed + 11 * i, texture_strength,
+                     freq_scale=texture_freq_scale)
         for i in range(len(spheres))
     ]
     Ks, Rs, ts, imgs = [], [], [], []
@@ -162,3 +182,48 @@ def surface_distance(points: np.ndarray,
             d, np.abs(np.linalg.norm(points - np.asarray(sc), axis=1) - rho)
         )
     return d
+
+
+def write_middlebury_dataset(
+    out_dir: str,
+    centers: np.ndarray = None,
+    w: int = 640,
+    h: int = 480,
+    prefix: str = "templeSR",
+    image_type: str = "ppm",
+    spheres: Sequence[Tuple[Sequence[float], float]] = (
+        ((0.0, 0.0, 0.0), 1.0),
+        ((1.0, 0.1, 0.9), 0.55),
+    ),
+    **render_kwargs,
+):
+    """Render a synthetic scene and materialize it ON DISK in Middlebury
+    layout — images + ``{prefix}_par.txt`` — so the CLI can be driven with
+    the reference's exact run_temple.sh invocation shape
+    (/root/reference/run_temple.sh:1: ``-img_p dir -par_p dir/
+    templeSR_par.txt -t ppm``).  The two-sphere default gives a temple-ish
+    occluding scene rather than the dino-tuned single sphere.
+
+    Returns (dataset_dir_path, par_path, spheres) for driving + ground
+    truth (``surface_distance``)."""
+    import os
+
+    from PIL import Image
+
+    from sfm_tpu.io.calib import Calibration, write_pars
+
+    if centers is None:
+        centers = ring_rig(16)
+    images, calib = render_scene(
+        centers, w=w, h=h, spheres=spheres, **render_kwargs
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    names = []
+    for i in range(images.shape[0]):
+        name = f"{prefix}{i + 1:04d}.{image_type}"
+        Image.fromarray(images[i]).save(os.path.join(out_dir, name))
+        names.append(name)
+    calib = Calibration(K=calib.K, R=calib.R, t=calib.t, names=tuple(names))
+    par_path = os.path.join(out_dir, f"{prefix}_par.txt")
+    write_pars(par_path, calib)
+    return out_dir, par_path, spheres

@@ -1,0 +1,186 @@
+"""Once-per-round hardware smoke of the NON-DEFAULT device paths.
+
+Round 3 shipped a TPU-only kernel fault (dense-Schur joint BA) that 138
+green CPU tests could not see, because nothing in the round workflow ran
+the non-default paths on the real chip (VERDICT r3 Missing #2 / task #4).
+This script runs, on whatever backend is default (the real TPU under the
+normal env), the paths the bench does NOT exercise:
+
+  1. scene-family synthetic (640-wide ring rig) full pipeline with the
+     visibility outlier filter ON;
+  2. joint BA through BOTH camera solvers (dense Schur + PCG) on that
+     scene, cross-checked;
+  3. non-dino image widths (320, 1000) through the Pallas slab-gather
+     photo-consistency kernel — real Mosaic lowering of the padded-lane
+     kernels, which interpret-mode CPU tests cannot validate;
+  4. a checkpoint -> kill -> resume cycle mid-MVS, bitwise-compared to the
+     uninterrupted cloud.
+
+Minutes total, run BEFORE the round's bench.  Output is recorded in
+HW_SMOKE_r{N}.txt at the repo root.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/hw_smoke.py
+"""
+
+import copy
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def log(msg, t0=[None]):
+    if t0[0] is None:
+        t0[0] = time.time()
+    print(f"[{time.time()-t0[0]:7.1f}s] {msg}", flush=True)
+
+
+def main():
+    import jax
+
+    from sfm_tpu.ba import bundle_adjust
+    from sfm_tpu.config import (
+        BaConfig, FeatureConfig, MvsConfig, PipelineConfig,
+    )
+    from sfm_tpu.mvs import dense_reconstruction
+    from sfm_tpu.sfm import structure_from_motion
+    from sfm_tpu.utils import synth
+
+    log(f"backend: {jax.default_backend()}")
+
+    # --- 1. Scene-family synthetic at 640x480, outlier filter ON --------
+    # 16-view ring at 640x480: corner budget scales with pixel area
+    # (2048 at 640x480 vs the 1024 tuned at 320x240 — measured 1176 vs 130
+    # tracks), texture frequency auto-scales with width (synth.make_texture).
+    centers = synth.ring_rig(16)
+    images, calib = synth.render_scene(centers, w=640, h=480)
+    cfg = PipelineConfig(
+        features=FeatureConfig(max_corners=2048, max_matches=1024),
+        mvs=MvsConfig(
+            round_capacity=4096, max_rounds=8, enable_outlier_filter=True
+        ),
+    )
+    recon = structure_from_motion(images, calib, cfg)
+    log(f"synthetic SfM: {recon.num_tracks} tracks")
+    assert recon.num_tracks > 500, recon.num_tracks
+
+    recon_ba, info_f = bundle_adjust(copy.deepcopy(recon), BaConfig())
+    rms_f = info_f["rms_reproj_refined_px"]
+    log(f"frozen BA: rms {rms_f:.4f}")
+    assert rms_f < 0.5, rms_f
+
+    dense = dense_reconstruction(
+        images, calib, recon_ba, cfg.mvs, scale=1.0
+    )
+    filtered = dense.metrics.values.get("mvs_filtered_out", 0)
+    log(
+        f"MVS + outlier filter: {dense.num_points} points "
+        f"({filtered} filtered)"
+    )
+    assert dense.num_points > 5 * recon.num_tracks
+    surf = synth.surface_distance(dense.points, (((0, 0, 0), 1.0),))
+    log(f"surface p95 {np.percentile(surf, 95):.4f}")
+    assert np.percentile(surf, 95) < 0.05
+
+    # --- 2. Joint BA: dense Schur vs PCG (round-3 crash class) ----------
+    r_pcg, info_pcg = bundle_adjust(
+        copy.deepcopy(recon),
+        BaConfig(refine_cameras=True, dense_schur_max_cams=0),
+    )
+    assert info_pcg["camera_solver"] == "pcg"
+    r_ds, info_ds = bundle_adjust(
+        copy.deepcopy(recon), BaConfig(refine_cameras=True)
+    )
+    assert info_ds["camera_solver"] == "dense_schur"
+    log(
+        f"joint BA: pcg rms {info_pcg['rms_reproj_refined_px']:.4f}, "
+        f"dense-Schur rms {info_ds['rms_reproj_refined_px']:.4f}"
+    )
+    assert np.isclose(
+        info_ds["rms_reproj_refined_px"],
+        info_pcg["rms_reproj_refined_px"],
+        rtol=0.05,
+    )
+
+    # --- 3. Non-dino widths through the padded Pallas kernel ------------
+    from sfm_tpu.mvs.photoconsistency import photo_consistency
+
+    rng = np.random.default_rng(0)
+    for w in (320, 1000):
+        h, n_img, m = 240, 6, 512
+        gray = (rng.random((n_img, h, w)) * 255).astype(np.float32)
+        K = np.tile(
+            np.array(
+                [[1.2 * w, 0, w / 2], [0, 1.2 * w, h / 2], [0, 0, 1]],
+                np.float32,
+            ),
+            (n_img, 1, 1),
+        )
+        R = np.tile(np.eye(3, dtype=np.float32), (n_img, 1, 1))
+        t = np.tile(np.array([0, 0, 3.0], np.float32), (n_img, 1))
+        ctr = rng.standard_normal((m, 3)).astype(np.float32) * 0.1
+        ref = rng.integers(0, n_img, m).astype(np.int32)
+        import jax.numpy as jnp
+
+        vis_p, _, s_p, c_p = photo_consistency(
+            jnp.asarray(gray), jnp.asarray(K), jnp.asarray(R),
+            jnp.asarray(t), jnp.asarray(ctr), jnp.asarray(ref),
+            0.4, 5, 0, use_pallas=True,
+        )
+        vis_x, _, s_x, c_x = photo_consistency(
+            jnp.asarray(gray), jnp.asarray(K), jnp.asarray(R),
+            jnp.asarray(t), jnp.asarray(ctr), jnp.asarray(ref),
+            0.4, 5, 0, use_pallas=False,
+        )
+        agree = float((np.asarray(c_p) == np.asarray(c_x)).mean())
+        log(f"padded-width Pallas W={w}: vis-count agreement {agree:.3f}")
+        assert agree > 0.97, (w, agree)
+
+    # --- 4. Checkpoint -> kill -> resume, bitwise cloud ----------------
+    import sfm_tpu.mvs.pipeline as mp
+
+    mvs_cfg = MvsConfig(round_capacity=2048, max_rounds=6)
+    full = dense_reconstruction(images, calib, recon_ba, mvs_cfg, scale=1.0)
+    with tempfile.TemporaryDirectory() as ckpt_dir:
+        real_round = mp.expansion_round
+        calls = {"n": 0}
+
+        def killing_round(*a, **k):
+            calls["n"] += 1
+            if calls["n"] >= 3:
+                raise RuntimeError("simulated crash")
+            return real_round(*a, **k)
+
+        mp.expansion_round = killing_round
+        try:
+            dense_reconstruction(
+                images, calib, recon_ba, mvs_cfg, scale=1.0,
+                checkpoint_dir=ckpt_dir, checkpoint_every=1,
+            )
+            raise AssertionError("kill did not fire")
+        except RuntimeError:
+            pass
+        finally:
+            mp.expansion_round = real_round
+        resumed = dense_reconstruction(
+            images, calib, recon_ba, mvs_cfg, scale=1.0,
+            checkpoint_dir=ckpt_dir, checkpoint_every=1,
+        )
+    same = (
+        resumed.num_points == full.num_points
+        and np.array_equal(resumed.points, full.points)
+        and np.array_equal(resumed.colors, full.colors)
+    )
+    log(
+        f"checkpoint/resume: {resumed.num_points} points, "
+        f"bitwise_identical={same}"
+    )
+    assert same
+
+    log("HW SMOKE OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
