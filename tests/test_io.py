@@ -60,3 +60,28 @@ def test_ply_no_color(tmp_path, rng):
     rpts, rcols = read_ply(p)
     assert np.allclose(rpts, pts)
     assert rcols is None
+
+
+def test_write_pars_roundtrip_exact(tmp_path):
+    """write_pars -> read_pars must reproduce K/R/t bit-exactly (%.17g
+    covers float64), so synthetic datasets materialized on disk carry
+    calibration with zero drift (round 4: temple-style CLI dataset)."""
+    import numpy as np
+
+    from sfm_tpu.io.calib import Calibration, read_pars, write_pars
+
+    rng = np.random.default_rng(3)
+    n = 5
+    cal = Calibration(
+        K=rng.standard_normal((n, 3, 3)) * 100,
+        R=rng.standard_normal((n, 3, 3)),
+        t=rng.standard_normal((n, 3)),
+        names=tuple(f"img{i:04d}.ppm" for i in range(n)),
+    )
+    path = str(tmp_path / "x_par.txt")
+    write_pars(path, cal)
+    back = read_pars(path)
+    assert back.names == cal.names
+    np.testing.assert_array_equal(back.K, cal.K)
+    np.testing.assert_array_equal(back.R, cal.R)
+    np.testing.assert_array_equal(back.t, cal.t)
