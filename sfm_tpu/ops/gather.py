@@ -44,6 +44,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 24  # slab rows per sample: any (win+1)-row window at an 8-aligned base
 
+# Cap on samples per pallas_call: the kernel's (samples, side, side) HBM out
+# buffer is tile-padded ~17x by XLA ((11,11) -> (16,128) tiles), so one
+# unchunked call at quality-harness sizes (48-view ungated sweep over 33k
+# points = 1.6M samples) needs 6+ GB and OOMs the 16 GB chip (round 4).
+# 2^18 samples bound the live padded buffer to ~1.1 GB; larger batches run
+# as a sequential lax.map whose per-chunk output is immediately reshaped to
+# flat descriptors (121 -> 128-lane pad, 1.06x).  Production MVS sweeps
+# (<= 81920 samples/round) take the single-call path unchanged.
+_MAX_SAMPLES_PER_CALL = 1 << 18
+
 # One entry per TRACED program that fell back to the XLA gather (tracing
 # runs once per shape, so this counts distinct de-optimized programs, not
 # per-call executions).
@@ -188,12 +198,8 @@ def sample_normalized_patches(gray, img_idx, centers, wid: int = 5,
     n_steps = (m + pad) // S
     BI = -(-S * 8 // 1024) * 1024
     BF = -(-S * 2 // 1024) * 1024
-    ints = jnp.pad(
-        ints.reshape(n_steps, S * 8), ((0, 0), (0, BI - S * 8))
-    ).reshape(-1)
-    flts = jnp.pad(
-        flts.reshape(n_steps, S * 2), ((0, 0), (0, BF - S * 2))
-    ).reshape(-1)
+    ints = jnp.pad(ints.reshape(n_steps, S * 8), ((0, 0), (0, BI - S * 8)))
+    flts = jnp.pad(flts.reshape(n_steps, S * 2), ((0, 0), (0, BF - S * 2)))
 
     flat = gray.astype(jnp.bfloat16).reshape(n * h, w)
     # Rows: row8 + ROWS can reach n*h + 8.  Lanes: pad to w_pad (128-aligned
@@ -201,8 +207,33 @@ def sample_normalized_patches(gray, img_idx, centers, wid: int = 5,
     # base_x + win <= w.
     flat = jnp.pad(flat, ((0, 8), (0, w_pad - w)))
 
-    kern = _make_kernel(n_steps, S, w_pad, wid)
-    desc = kern(ints, flts, flat)[:m].reshape(*batch_shape, side * side)
+    chunk_steps = max(1, _MAX_SAMPLES_PER_CALL // S)
+    if n_steps <= chunk_steps:
+        kern = _make_kernel(n_steps, S, w_pad, wid)
+        desc = kern(ints.reshape(-1), flts.reshape(-1), flat)
+        desc = desc.reshape(-1, side * side)
+    else:
+        # See _MAX_SAMPLES_PER_CALL: sequential chunks bound the ~17x
+        # tile-padded out buffer to one chunk; padded tail steps carry
+        # index 0 (safe reads) and their rows are sliced off below.
+        n_chunks = -(-n_steps // chunk_steps)
+        ints = jnp.pad(ints, ((0, n_chunks * chunk_steps - n_steps), (0, 0)))
+        flts = jnp.pad(flts, ((0, n_chunks * chunk_steps - n_steps), (0, 0)))
+        kern = _make_kernel(chunk_steps, S, w_pad, wid)
+
+        def one(io):
+            i2, f2 = io
+            out = kern(i2.reshape(-1), f2.reshape(-1), flat)
+            return out.reshape(-1, side * side)
+
+        desc = jax.lax.map(
+            one,
+            (
+                ints.reshape(n_chunks, chunk_steps, BI),
+                flts.reshape(n_chunks, chunk_steps, BF),
+            ),
+        ).reshape(-1, side * side)
+    desc = desc[:m].reshape(*batch_shape, side * side)
     return desc, inb.reshape(batch_shape)
 
 

@@ -406,3 +406,35 @@ class TestSlabGatherWidthPadding:
             f["where"] == "mvs.photo_consistency" and f["wid"] == 9
             for f in new
         )
+
+
+def test_slab_gather_chunked_matches_single_call(monkeypatch):
+    """Batches beyond _MAX_SAMPLES_PER_CALL run as a sequential lax.map of
+    bounded kernel calls (round 4: the unchunked (samples, 11, 11) out
+    buffer is tile-padded ~17x and OOMed the chip at quality-harness
+    sizes).  Chunked output must equal the single-call path bitwise."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sfm_tpu.ops import gather
+
+    rng = np.random.default_rng(9)
+    n_img, h, w, m = 3, 64, 640, 203
+    gray = jnp.asarray((rng.random((n_img, h, w)) * 255), jnp.float32)
+    img = jnp.asarray(rng.integers(0, n_img, m), jnp.int32)
+    ctr = jnp.asarray(
+        np.stack([rng.uniform(0, w, m), rng.uniform(0, h, m)], 1),
+        jnp.float32,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        d1, i1 = gather.sample_normalized_patches(gray, img, ctr, 5, S=8)
+        # 32-sample cap with S=8 -> chunk_steps=4; m=203 -> 26 steps -> 7
+        # chunks with a padded tail.
+        monkeypatch.setattr(gather, "_MAX_SAMPLES_PER_CALL", 32)
+        gather.sample_normalized_patches._clear_cache()
+        d2, i2 = gather.sample_normalized_patches(gray, img, ctr, 5, S=8)
+    monkeypatch.undo()
+    gather.sample_normalized_patches._clear_cache()
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(
+        np.asarray(d1, np.float32), np.asarray(d2, np.float32)
+    )
