@@ -289,7 +289,20 @@ def main():
     from sfm_tpu.mvs import dense_reconstruction
 
     ref = _load_ref()
-    result = {"backend": jax.default_backend(), "reference": ref,
+    import subprocess
+
+    try:
+        rev = subprocess.run(
+            ["git", "-C", ROOT, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        rev = "unknown"
+    result = {"backend": jax.default_backend(),
+              "generated": time.strftime("%Y-%m-%d %H:%M:%S UTC",
+                                         time.gmtime()),
+              "git_rev": rev,
+              "reference": ref,
               "ours": {}, "criteria": {}}
     ra = ref["dino48_sparse"]
 

@@ -23,10 +23,17 @@ import numpy as np
 
 
 def make_scene(n_frames=96, w=1280, h=960, seed=0):
-    """Textured-sphere ring via the shared generator (sfm_tpu.utils.synth)."""
+    """Textured-sphere ring via the shared generator (sfm_tpu.utils.synth).
+
+    texture_freq_scale is PINNED to 1.0 (the pre-round-4 field) so the
+    stress workload stays bit-identical to the recorded round-2/3 numbers;
+    render_scene's default now scales frequency with width (round 4), which
+    would change acceptance rates at 1280 px."""
     from sfm_tpu.utils.synth import render_scene, ring_rig
 
-    images, calib = render_scene(ring_rig(n_frames), w=w, h=h, seed=seed)
+    images, calib = render_scene(
+        ring_rig(n_frames), w=w, h=h, seed=seed, texture_freq_scale=1.0
+    )
     return images, calib.K, calib.R, calib.t
 
 
