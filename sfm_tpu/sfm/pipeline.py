@@ -110,6 +110,20 @@ class SparseReconstruction:
 import functools
 
 
+def _pair_cache_key(config: PipelineConfig) -> PipelineConfig:
+    """Canonicalize the pair-program cache key to the sub-configs the
+    traced step actually reads (features, ransac, sfm).  Keying on the full
+    PipelineConfig made ANY knob change — e.g. an MVS capacity sweep —
+    evict and re-trace the unrelated SfM program (round 4: measured as a
+    ~500 s cold SfM on a remote-compile backend for an MVS-only change)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        PipelineConfig(),
+        features=config.features, ransac=config.ransac, sfm=config.sfm,
+    )
+
+
 @functools.lru_cache(maxsize=16)
 def _make_pair_program(config: PipelineConfig, num_matches: int, mesh=None):
     """Compiled all-pairs program, cached per config (and mesh).
@@ -325,7 +339,7 @@ def structure_from_motion(
             jax.random.PRNGKey(config.runtime.seed), len(ia)
         )
         run_pairs = _make_pair_program(
-            config, config.features.max_matches, mesh
+            _pair_cache_key(config), config.features.max_matches, mesh
         )
         if mesh is None:
             geo_d, F_d = run_pairs(
