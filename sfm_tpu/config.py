@@ -84,6 +84,18 @@ class SfmConfig:
     # "combination" = all C(n,2) pairs (utils.py:82-95 — unimplemented in the
     # reference, SFM.py:49-50; implemented here).
     pair_mode: str = "sequence"
+    # Pairs vmapped per lax.map step in the all-pairs program.  DEFAULT 1
+    # (serial pairs) — a measured round-4 negative result: the hypothesis
+    # was that 47 sequential ~2 ms sub-programs were dispatch overhead, but
+    # block=4 runs the warm dino48 pair stage at 118-127 ms vs 98 ms serial
+    # (tools/prof_pipeline.py --pairs_per_step) — the per-pair step is
+    # already internally batched (K x K correlation, 512 vmapped RANSAC
+    # hypotheses), so blocking pairs only grows working sets past cache
+    # sweet spots.  Block=8's first compile also ran 40+ min on the remote
+    # XLA service before being killed.  The mechanism is kept and
+    # CPU-equality-tested (tests/test_sfm.py) for rigs with far smaller
+    # per-pair work where the trade could invert.
+    pairs_per_step: int = 1
 
 
 @dataclass(frozen=True)

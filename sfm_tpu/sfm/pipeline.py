@@ -139,9 +139,34 @@ def _make_pair_program(config: PipelineConfig, num_matches: int, mesh=None):
     those of the single-device map.
     """
     step = _make_pair_step(config, num_matches)
+    block = max(int(config.sfm.pairs_per_step), 1)
+
+    def mapped(args):
+        """lax.map over blocks of vmapped pairs.
+
+        A plain lax.map serializes the pairs: 47 sequential ~2 ms sub-
+        programs were most of the 98 ms pair wall (round-4 attribution).
+        Batching `block` pairs per step keeps memory bounded (the K x K
+        correlation is the big intermediate) while the tiny per-pair
+        kernels batch onto the VPU/MXU.  The pair count is padded to a
+        block multiple by recycling rows (cheap row gather); padded rows
+        are sliced off before returning.
+        """
+        n = args[0].shape[0]
+        if block == 1 or n <= 1:
+            return jax.lax.map(step, args)
+        nb = -(-n // block)
+        idx = jnp.arange(nb * block) % n
+        args_b = tuple(
+            a[idx].reshape(nb, block, *a.shape[1:]) for a in args
+        )
+        outs = jax.lax.map(jax.vmap(step), args_b)
+        return tuple(
+            o.reshape(nb * block, *o.shape[2:])[:n] for o in outs
+        )
 
     def local(args):
-        geo, stats, F = jax.lax.map(step, args)
+        geo, stats, F = mapped(args)
         # Fuse the tiny per-pair stats row into the geo payload: the host
         # stage then pays ONE fetch for the whole stage instead of two
         # (each fetch costs a fixed ~23 ms over a remote-TPU link).

@@ -229,3 +229,30 @@ class TestSparsePipeline:
         recon.export_ply(p)
         pts, _ = read_ply(p)
         assert pts.shape == (recon.num_tracks, 3)
+
+
+def test_pairs_per_step_blocks_match_serial(dino_images, dino_calib):
+    """The vmapped-block pair map (SfmConfig.pairs_per_step > 1) must
+    reproduce the serial lax.map results exactly, including the recycled-
+    row padding when the pair count is not a block multiple (round 4; the
+    TPU default stays 1 — see the config docstring's compile-time negative
+    result)."""
+    import numpy as np
+
+    from sfm_tpu.config import FeatureConfig, PipelineConfig, SfmConfig
+    from sfm_tpu.sfm import structure_from_motion
+
+    imgs, _ = dino_images
+    cal = dino_calib.subset(range(8))
+    fc = FeatureConfig(max_corners=1024, max_matches=512)
+    runs = {}
+    for b in (1, 3, 8):  # 7 pairs: 3 forces padding, 8 exceeds the count
+        r = structure_from_motion(
+            imgs[:8], cal, PipelineConfig(
+                features=fc, sfm=SfmConfig(pairs_per_step=b)
+            )
+        )
+        runs[b] = r
+    assert runs[1].num_tracks == runs[3].num_tracks == runs[8].num_tracks
+    np.testing.assert_allclose(runs[1].world, runs[3].world, atol=1e-9)
+    np.testing.assert_allclose(runs[1].world, runs[8].world, atol=1e-9)

@@ -19,11 +19,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds_per_call", type=int, default=None)
     ap.add_argument("--round_capacity", type=int, default=None)
+    ap.add_argument("--pairs_per_step", type=int, default=None)
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
     from sfm_tpu.ba.run import bundle_adjust
-    from sfm_tpu.config import BaConfig, MvsConfig, PipelineConfig
+    from sfm_tpu.config import (
+        BaConfig, MvsConfig, PipelineConfig, SfmConfig,
+    )
     from sfm_tpu.io import load_images, read_pars
     from sfm_tpu.mvs import dense_reconstruction
     from sfm_tpu.sfm import structure_from_motion
@@ -35,7 +38,10 @@ def main():
         mvs_kw["rounds_per_call"] = args.rounds_per_call
     if args.round_capacity is not None:
         mvs_kw["round_capacity"] = args.round_capacity
-    cfg = PipelineConfig(mvs=MvsConfig(**mvs_kw))
+    sfm_kw = {}
+    if args.pairs_per_step is not None:
+        sfm_kw["pairs_per_step"] = args.pairs_per_step
+    cfg = PipelineConfig(mvs=MvsConfig(**mvs_kw), sfm=SfmConfig(**sfm_kw))
 
     for run in range(1 + args.runs):
         t0 = time.perf_counter()
