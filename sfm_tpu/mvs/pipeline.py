@@ -102,7 +102,14 @@ def dense_reconstruction(
     timers = StageTimer()
     metrics = Metrics()
     n, h, w = images.shape[0], images.shape[1], images.shape[2]
-    bound = config.visible_lower_bound if n > 2 else 2
+    # Reference quirk deliberately fixed (same class as the MVS2.py:68/:334
+    # fixes): its 2-image carve-out sets visible_lower_bound = 2
+    # (MVS2.py:200-203), but its visible set — like ours — counts only
+    # NON-reference views (photo_consistenecy_test appends idx != self.R,
+    # MVS2.py:66-74), so with 2 images visible_ct can never exceed 1 and
+    # the carve-out is dead code: a 2-image run produces ZERO patches.  The
+    # intent is plainly "require the one other view", i.e. bound 1.
+    bound = config.visible_lower_bound if n > 2 else 1
 
     gray = device_gray(images)
     K = jnp.asarray(calib.K.astype(np.float32))

@@ -716,3 +716,30 @@ class TestBacklogAccounting:
         np.testing.assert_array_equal(resumed.points, full.points)
         np.testing.assert_array_equal(resumed.colors, full.colors)
         np.testing.assert_array_equal(resumed.normals, full.normals)
+
+
+def test_two_image_rig_produces_dense_output():
+    """2-image rigs: the reference's own carve-out (visible_lower_bound=2
+    at n=2, MVS2.py:200-203) is dead code — its visible set counts only
+    non-reference views, so no patch can ever pass and a 2-image run emits
+    ZERO dense points.  We implement the plain intent (require the one
+    other view): a calibrated 2-view scene must seed and grow."""
+    from sfm_tpu.config import BaConfig, FeatureConfig, PipelineConfig
+    from sfm_tpu.ba.run import bundle_adjust
+    from sfm_tpu.sfm import structure_from_motion
+    from sfm_tpu.utils import synth
+
+    centers = synth.ring_rig(32)[[0, 1]]  # adjacent ~11 deg baseline
+    images, calib = synth.render_scene(centers, w=320, h=240)
+    cfg = PipelineConfig(
+        features=FeatureConfig(max_corners=1024, max_matches=512),
+        mvs=MvsConfig(round_capacity=2048, max_rounds=6),
+    )
+    recon = structure_from_motion(images, calib, cfg)
+    assert recon.num_tracks > 50
+    recon, _ = bundle_adjust(recon, BaConfig())
+    dense = dense_reconstruction(images, calib, recon, cfg.mvs, scale=1.0)
+    assert dense.num_seeds > 20
+    assert dense.num_points > 3 * recon.num_tracks
+    d = synth.surface_distance(dense.points, (((0, 0, 0), 1.0),))
+    assert np.percentile(d, 95) < 0.05
