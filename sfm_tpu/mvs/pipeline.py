@@ -174,24 +174,11 @@ def dense_reconstruction(
                 jnp.asarray(track_id), jnp.asarray(ref_obs), jnp.asarray(other_obs),
                 recon.num_tracks, occupancy, config, bound,
             )
-            # ONE device->host fetch for the whole seed stage; colors are
-            # sampled host-side from the original images (unpack_patch_payload).
-            seed_valid, s_c, s_n, s_score, s_color = unpack_patch_payload(
-                np.asarray(seed_packed), images
-            )
-            n_seeds = int(seed_valid.sum())
-            metrics.record("mvs_num_seeds", n_seeds)
-
-        # vis (M, N) and proj (M, N, 2) are ~10x the bytes of everything else
-        # a round produces; only the (off-by-default) visibility outlier
-        # filter consumes them on the host, so only fetch them when it is
-        # enabled — the frontier itself stays on device either way.
-        all_c = [s_c[seed_valid]]
-        all_n = [s_n[seed_valid]]
-        all_score = [s_score[seed_valid]]
-        all_color = [s_color[seed_valid]]
-        all_vis = [np.asarray(seeds["vis"])[seed_valid]] if fetch_visproj else []
-        all_proj = [np.asarray(seeds["proj"])[seed_valid]] if fetch_visproj else []
+            # The seed payload (ONE device->host fetch for the whole stage)
+            # is read AFTER the first expansion round is dispatched — see
+            # the pre-dispatch below: the device runs round 1 while the
+            # host pays the fixed ~23 ms tunnel fetch it would otherwise
+            # sit idle through.
 
     # The expansion frontier consumes exactly these fields; seed dicts carry
     # extras (ref, score) that must not leak into backlog bookkeeping.
@@ -275,21 +262,7 @@ def dense_reconstruction(
         return front, back
 
     if not resumed:
-        total = n_seeds
         frontier, backlog = _split_frontier(seeds, config.round_capacity)
-        # Exact live backlog count, tracked on host with NO device fetch:
-        # the split keeps the first `cap` valid rows, so the deferred count
-        # is n_seeds - cap; each later merge updates it from the valid-row
-        # count of the frontier being folded back in (see the loop).
-        bl_count = (
-            max(0, n_seeds - config.round_capacity)
-            if backlog is not None else 0
-        )
-        fr_valid = n_seeds - bl_count
-        if backlog is not None and bl_count == 0:
-            backlog = None
-        if bl_count:
-            metrics.record("mvs_seed_frontier_deferred", bl_count)
         dropped_candidates = 0
         rounds = 0
     cap = config.round_capacity
@@ -340,11 +313,57 @@ def dense_reconstruction(
         )
         return packed
 
+    pending = None  # dispatched chunk whose payload is not yet read
+    if not resumed:
+        # Pre-dispatch round 1 BEFORE the seed-payload fetch: the first
+        # round never needs a backlog merge (the fresh split already holds
+        # the oldest `cap` valid seeds), so the device can run it while the
+        # host pays the fixed ~23 ms tunnel fetch below.  Guarded so the
+        # budget loop would certainly have run it: n_seeds <= num_tracks,
+        # so num_tracks < max_patches implies total < max_patches.
+        if config.max_rounds > 0 and recon.num_tracks < config.max_patches:
+            pending = _dispatch()
+            skip_first_merge = False
+        with timers.stage("seed"):
+            # ONE device->host fetch for the whole seed stage; colors are
+            # sampled host-side from the original images.
+            seed_valid, s_c, s_n, s_score, s_color = unpack_patch_payload(
+                np.asarray(seed_packed), images
+            )
+            n_seeds = int(seed_valid.sum())
+            metrics.record("mvs_num_seeds", n_seeds)
+        total = n_seeds
+        # Exact live backlog count, tracked on host with NO device fetch:
+        # the split kept the first `cap` valid rows, so the deferred count
+        # is n_seeds - cap; each later merge updates it from the valid-row
+        # count of the frontier being folded back in (see the loop).
+        bl_count = (
+            max(0, n_seeds - cap) if backlog is not None else 0
+        )
+        fr_valid = n_seeds - bl_count
+        if backlog is not None and bl_count == 0:
+            backlog = None
+        if bl_count:
+            metrics.record("mvs_seed_frontier_deferred", bl_count)
+        # vis (M, N) and proj (M, N, 2) are ~10x the bytes of everything
+        # else a round produces; only the (off-by-default) visibility
+        # outlier filter consumes them on the host, so only fetch them when
+        # it is enabled — the frontier itself stays on device either way.
+        all_c = [s_c[seed_valid]]
+        all_n = [s_n[seed_valid]]
+        all_score = [s_score[seed_valid]]
+        all_color = [s_color[seed_valid]]
+        all_vis = (
+            [np.asarray(seeds["vis"])[seed_valid]] if fetch_visproj else []
+        )
+        all_proj = (
+            [np.asarray(seeds["proj"])[seed_valid]] if fetch_visproj else []
+        )
+
     backlog_merge_s = 0.0
     backlog_rounds = 0
     hits_over_k = 0
     with timers.stage("expand"):
-        pending = None  # prefetched chunk whose payload is not yet read
         while rounds < config.max_rounds and total < config.max_patches:
             if pending is None:
                 if bl_count and not skip_first_merge:
