@@ -38,7 +38,11 @@ def run_pipeline(images, calib, config, mvs: bool, scale: float):
 
     t0 = time.perf_counter()
     recon = structure_from_motion(images, calib, config)
-    recon, info = bundle_adjust(recon, config.ba)
+    # Defer BA's ~23 ms solution fetch when MVS follows: the dense stage
+    # never consumes the refined points (seeds re-triangulate from
+    # observations), so the fetch rides entirely under MVS device compute
+    # (ba.run.bundle_adjust docstring, round 4).
+    recon, info = bundle_adjust(recon, config.ba, defer_fetch=mvs)
     t_sfm_ba = time.perf_counter() - t0
     t_mvs = 0.0
     dense_points = 0
@@ -47,6 +51,7 @@ def run_pipeline(images, calib, config, mvs: bool, scale: float):
 
         t1 = time.perf_counter()
         dense = dense_reconstruction(images, calib, recon, config.mvs, scale)
+        info["finalize"]()
         t_mvs = time.perf_counter() - t1
         dense_points = dense.num_points
     return recon, t_sfm_ba, t_mvs, dense_points

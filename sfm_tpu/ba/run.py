@@ -51,11 +51,23 @@ def bundle_adjust(
     config: BaConfig = BaConfig(),
     track_store=None,
     mesh=None,
+    defer_fetch: bool = False,
 ):
     """Refine a SparseReconstruction in place; returns (recon, info dict).
 
     If ``mesh`` is given (a jax.sharding.Mesh with a 'data' axis), the
     solve runs sharded over observations/points (ba.sharded).
+
+    ``defer_fetch=True`` dispatches the solve but NOT the ~23 ms
+    device->host solution fetch: ``info["finalize"]()`` must be called
+    before reading ``recon.world`` / the info result fields.  Nothing
+    downstream of BA *on the device* needs the solution — MVS re-
+    triangulates seeds from observations (reference MVS2.py:238-244), so a
+    pipeline driver can run the whole dense stage between the dispatch and
+    the finalize and pay the fetch entirely under device compute (round 4;
+    bench.py does this; the CLI keeps the eager default because its BA
+    artifacts/checkpoint must hit disk before MVS starts for
+    crash-consistent resume).
     """
     timers = StageTimer()
     dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
@@ -102,19 +114,9 @@ def bundle_adjust(
                 optimize_cameras=config.refine_cameras,
                 pair_span=pair_span,
             )
-        packed = np.asarray(_pack_solution(cams, points, cost, iters))
-        nc = 12 * problem.cams.shape[0]
-        npts = 3 * problem.points.shape[0]
-        cams = packed[:nc].reshape(-1, 12)
-        points = packed[nc : nc + npts].reshape(-1, 3)
-        cost, iters = packed[nc + npts], packed[nc + npts + 1]
+        packed_dev = _pack_solution(cams, points, cost, iters)
 
-    recon.world = points[: recon.num_tracks].astype(np.float64)
-    if track_store is not None:
-        track_store.update_world(recon.world)
     info = {
-        "final_cost": float(cost),
-        "iterations": int(iters),
         "num_observations": problem.num_observations,
         "num_points": recon.num_tracks,
         "num_cameras": recon.calib.num_views,
@@ -125,27 +127,53 @@ def bundle_adjust(
         ),
         "timers": timers.times,
     }
-    # Internal optimum rms: per-observation error against the REFINED
-    # parameter set (cost = 0.5 * sum r^2 over 2*n_obs components).  With
-    # refine_cameras this is the apples-to-apples reading against the
-    # reference's own scipy-TRF residual (its refined cameras are discarded
-    # at SFM.py:181-183, so its against-calibration error is far worse —
-    # see QUALITY.md).
-    info["rms_reproj_refined_px"] = float(
-        np.sqrt(2.0 * info["final_cost"] / max(problem.num_observations, 1))
-    )
-    if config.refine_cameras:
-        info["cams11"] = cams
-    recon.metrics.record("ba_final_cost", info["final_cost"])
-    recon.metrics.record("ba_iterations", info["iterations"])
-    # With frozen cameras the refined-parameter rms IS the rms against the
-    # stored calibration (same cameras), so reuse the solver's own cost
-    # instead of paying a fresh device program + fetch; the joint path's
-    # cameras differ from calibration, so compute it for real there.
-    recon.metrics.record(
-        "ba_rms_reproj_after_px",
-        info["rms_reproj_refined_px"]
-        if not config.refine_cameras
-        else recon.rms_reprojection_error(),
-    )
+
+    def finalize():
+        """Pay the single packed device->host fetch and publish the
+        solution into recon/info (idempotent)."""
+        if "final_cost" in info:
+            return recon, info
+        with timers.stage("fetch"):
+            packed = np.asarray(packed_dev)
+        nc = 12 * problem.cams.shape[0]
+        npts = 3 * problem.points.shape[0]
+        cams = packed[:nc].reshape(-1, 12)
+        points = packed[nc : nc + npts].reshape(-1, 3)
+        cost, iters = packed[nc + npts], packed[nc + npts + 1]
+        recon.world = points[: recon.num_tracks].astype(np.float64)
+        if track_store is not None:
+            track_store.update_world(recon.world)
+        info["final_cost"] = float(cost)
+        info["iterations"] = int(iters)
+        # Internal optimum rms: per-observation error against the REFINED
+        # parameter set (cost = 0.5 * sum r^2 over 2*n_obs components).
+        # With refine_cameras this is the apples-to-apples reading against
+        # the reference's own scipy-TRF residual (its refined cameras are
+        # discarded at SFM.py:181-183, so its against-calibration error is
+        # far worse — see QUALITY.md).
+        info["rms_reproj_refined_px"] = float(
+            np.sqrt(
+                2.0 * info["final_cost"] / max(problem.num_observations, 1)
+            )
+        )
+        if config.refine_cameras:
+            info["cams11"] = cams
+        recon.metrics.record("ba_final_cost", info["final_cost"])
+        recon.metrics.record("ba_iterations", info["iterations"])
+        # With frozen cameras the refined-parameter rms IS the rms against
+        # the stored calibration (same cameras), so reuse the solver's own
+        # cost instead of paying a fresh device program + fetch; the joint
+        # path's cameras differ from calibration, so compute it for real
+        # there.
+        recon.metrics.record(
+            "ba_rms_reproj_after_px",
+            info["rms_reproj_refined_px"]
+            if not config.refine_cameras
+            else recon.rms_reprojection_error(),
+        )
+        return recon, info
+
+    info["finalize"] = finalize
+    if not defer_fetch:
+        finalize()
     return recon, info

@@ -348,3 +348,29 @@ def test_bundle_adjust_packed_fetch_matches_solver(dino_images, dino_calib):
             assert np.allclose(
                 info["cams11"], np.asarray(cams_d), atol=1e-12
             )
+
+
+def test_defer_fetch_matches_eager(dino_images, dino_calib):
+    """bundle_adjust(defer_fetch=True) + finalize() must produce the exact
+    eager results (round 4: bench overlaps the solution fetch with MVS)."""
+    import copy
+
+    from sfm_tpu.sfm import structure_from_motion
+
+    imgs, _ = dino_images
+    cfg = PipelineConfig(
+        features=FeatureConfig(max_corners=1024, max_matches=512),
+    )
+    recon0 = structure_from_motion(imgs, dino_calib.subset(range(8)), cfg)
+    ba_cfg = BaConfig(dtype="float64")
+
+    r_eager, i_eager = bundle_adjust(copy.deepcopy(recon0), ba_cfg)
+    r_def, i_def = bundle_adjust(
+        copy.deepcopy(recon0), ba_cfg, defer_fetch=True
+    )
+    assert "final_cost" not in i_def  # not fetched yet
+    i_def["finalize"]()
+    i_def["finalize"]()  # idempotent
+    assert np.isclose(i_def["final_cost"], i_eager["final_cost"], rtol=0)
+    assert i_def["iterations"] == i_eager["iterations"]
+    np.testing.assert_array_equal(r_def.world, r_eager.world)
