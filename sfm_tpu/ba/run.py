@@ -77,15 +77,30 @@ def bundle_adjust(
             dtype=dtype,
         )
     # Dense-Schur eligibility (joint mode only): S is (12*Nc)^2, so gate on
-    # the camera count; track length no longer matters (the round-4 assembly
-    # is one scatter + matmul, program size independent of span).  pair_span
+    # the camera count AND on the scatter-grid memory footprint (the grids
+    # are (T, Nc, 12, 3) f32, ~4 live at peak — dense_schur_max_bytes in
+    # config.py); track length no longer matters (the round-4 assembly is
+    # one scatter + matmul, program size independent of span).  pair_span
     # is now just the on/off flag — pass 1 so the compiled program is shared
     # across datasets with different longest tracks.
+    import warnings
+
+    if config.dense_schur_max_span != type(config)().dense_schur_max_span:
+        warnings.warn(
+            "BaConfig.dense_schur_max_span is deprecated and has no effect "
+            "(the dense-Schur assembly is span-independent since round 4); "
+            "use dense_schur_max_cams / dense_schur_max_bytes to steer the "
+            "solver choice",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     pair_span = 0
+    dense_grid_bytes = 4 * recon.num_tracks * recon.calib.num_views * 144
     if (
         config.refine_cameras
         and recon.num_tracks
         and recon.calib.num_views <= config.dense_schur_max_cams
+        and dense_grid_bytes <= config.dense_schur_max_bytes
     ):
         pair_span = 1
     with timers.stage("solve"):

@@ -191,12 +191,13 @@ def _main(argv=None) -> int:
             if args.checkpoint_dir:
                 ckpt.save_sparse(ckpt.stage_path(args.checkpoint_dir, "sfm"),
                                  recon)
+        mean_reproj = recon.mean_reprojection_error()
         print(f"sparse: {recon.num_tracks} tracks, "
               f"{recon.num_observations} observations, "
-              f"mean reproj {recon.mean_reprojection_error():.3f}px")
+              f"mean reproj {mean_reproj:.3f}px")
         recon.export_ply(os.path.join(args.out_dir, "sparse_points.ply"))
         summary["sparse_tracks"] = recon.num_tracks
-        summary["sparse_mean_reproj_px"] = recon.mean_reprojection_error()
+        summary["sparse_mean_reproj_px"] = mean_reproj
         if args.debug and recon.debug_pairs is not None:
             from sfm_tpu.utils.viz import draw_epipolar_debug
 
@@ -234,13 +235,14 @@ def _main(argv=None) -> int:
             mesh = data_mesh(num_devices=args.mesh_devices)
         with timers.stage("ba"):
             recon, info = bundle_adjust(recon, config.ba, mesh=mesh)
+        ba_rms = recon.rms_reprojection_error()
         print(f"ba: cost {info['final_cost']:.4g} after {info['iterations']} "
-              f"iterations; rms reproj {recon.rms_reprojection_error():.3f}px")
+              f"iterations; rms reproj {ba_rms:.3f}px")
         if args.checkpoint_dir:
             ckpt.save_sparse(ckpt.stage_path(args.checkpoint_dir, "ba"), recon)
         recon.export_ply(os.path.join(args.out_dir, "sparse_points_ba.ply"))
         summary["ba_final_cost"] = info["final_cost"]
-        summary["ba_rms_reproj_px"] = recon.rms_reprojection_error()
+        summary["ba_rms_reproj_px"] = ba_rms
         if args.plot:
             from sfm_tpu.utils.viz import scatter3d
 

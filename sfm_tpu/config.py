@@ -125,10 +125,19 @@ class BaConfig:
     # (S is (12·Nc)²); otherwise matrix-free PCG.  The dense path removes
     # the 2-psums-per-CG-iteration sequential collectives that make sharded
     # joint BA DCN-latency-bound (tools/comm_model.py), and is faster
-    # single-device at rig scale.  Since round 4 the assembly is
-    # span-independent, so longest-track length no longer gates it
-    # (dense_schur_max_span kept only for CLI/back-compat; unused).
+    # single-device at rig scale.
     dense_schur_max_cams: int = 256
+    # Second dense-path gate: the scatter grids are (T, Nc, 12, 3) f32 —
+    # O(T·Nc·144 B) each, ~4 live at peak (two grids + their transposed
+    # matmul operands) — so large point clouds with many cameras would OOM
+    # the 16 GB chip even under the camera cap (e.g. 200k pts × 256 cams
+    # ≈ 7.4 GB per grid).  Past this budget the solver falls back to
+    # matrix-free PCG, which materializes nothing bigger than the
+    # observation buffers.
+    dense_schur_max_bytes: int = 2 << 30
+    # DEPRECATED, unused: the round-4 dense-Schur assembly is one scatter +
+    # matmul whose program size is independent of track span, so this no
+    # longer gates anything (ba/run.py warns if changed from the default).
     dense_schur_max_span: int = 64
 
 

@@ -60,9 +60,32 @@ _MAX_SAMPLES_PER_CALL = 1 << 18
 fallbacks: list = []
 
 
+# VMEM budget for the slab scratch, (S, ROWS, w_pad) bf16.  The Mosaic
+# scoped-vmem stack limit is 16 MB (ops/harris.py hit it at 19.65 MB); leave
+# headroom for the output block + DMA bookkeeping.  Rather than rejecting
+# wide images, _pick_samples shrinks the per-grid-step sample count S with
+# width (fewer outstanding DMAs per step — still far above the XLA gather
+# rate) so e.g. 4K-wide frames keep the kernel instead of failing Mosaic
+# compilation with no fallback (ADVICE r4).
+_SLAB_BUDGET_BYTES = 12 << 20
+
+
+def _pad_width(w: int) -> int:
+    """Lane-axis padding applied internally: 128-multiple, >= 256."""
+    return max(256, -(-w // 128) * 128)
+
+
+def _pick_samples(w_pad: int, S: int) -> int:
+    """Largest multiple-of-8 sample count <= S whose slab fits the budget."""
+    cap = _SLAB_BUDGET_BYTES // (ROWS * w_pad * 2)
+    return max(8, min(S, (cap // 8) * 8))
+
+
 def supports(w: int, wid: int) -> bool:
-    del w  # width is padded to a 128-multiple >= 256 internally
-    return wid <= 8
+    # Width is padded to a 128-multiple >= 256 internally; S shrinks with
+    # width (_pick_samples) so any width whose minimum-S slab fits the VMEM
+    # budget works.
+    return wid <= 8 and 8 * ROWS * _pad_width(w) * 2 <= _SLAB_BUDGET_BYTES
 
 
 def supports_or_note(w: int, wid: int, where: str) -> bool:
@@ -164,8 +187,9 @@ def sample_normalized_patches(gray, img_idx, centers, wid: int = 5,
     Returns (desc (..., side*side) bf16 zero-mean unit-norm, inbounds (...,)).
     """
     n, h, w = gray.shape
-    w_pad = max(256, -(-w // 128) * 128)  # lane alignment; zeros only ever
+    w_pad = _pad_width(w)                 # lane alignment; zeros only ever
     side = 2 * wid + 1                    # land outside real patch windows
+    S = _pick_samples(w_pad, S)           # slab VMEM budget (wide images)
     win = side + 1
     batch_shape = img_idx.shape
     img = img_idx.reshape(-1).astype(jnp.int32)

@@ -258,6 +258,51 @@ class TestPipelineBA:
         assert np.allclose(sharded.world, joint.world, atol=1e-5)
 
 
+def test_dense_schur_memory_gate_falls_back_to_pcg(dino_images, dino_calib):
+    """The dense Schur path materializes (T, Nc, 12, 3) scatter grids; past
+    BaConfig.dense_schur_max_bytes the solver must fall back to matrix-free
+    PCG instead of OOMing the chip (ADVICE r4)."""
+    import copy
+
+    from sfm_tpu.sfm import structure_from_motion
+
+    imgs, _ = dino_images
+    cfg = PipelineConfig(
+        features=FeatureConfig(max_corners=1024, max_matches=512),
+    )
+    recon = structure_from_motion(imgs, dino_calib.subset(range(8)), cfg)
+    _, info_dense = bundle_adjust(
+        copy.deepcopy(recon),
+        BaConfig(dtype="float64", refine_cameras=True),
+    )
+    assert info_dense["camera_solver"] == "dense_schur"
+    _, info_pcg = bundle_adjust(
+        copy.deepcopy(recon),
+        BaConfig(
+            dtype="float64", refine_cameras=True, dense_schur_max_bytes=1024
+        ),
+    )
+    assert info_pcg["camera_solver"] == "pcg"
+    # The two solvers take slightly different LM trajectories (exact solve
+    # vs tol-terminated CG); solver equivalence proper is covered by
+    # test_dense_schur_matches_pcg — here only the gate is under test.
+    assert np.isclose(
+        info_pcg["final_cost"], info_dense["final_cost"], rtol=5e-3
+    )
+
+
+def test_dense_schur_max_span_deprecation_warns(dino_images, dino_calib):
+    from sfm_tpu.sfm import structure_from_motion
+
+    imgs, _ = dino_images
+    cfg = PipelineConfig(
+        features=FeatureConfig(max_corners=1024, max_matches=512),
+    )
+    recon = structure_from_motion(imgs, dino_calib.subset(range(8)), cfg)
+    with pytest.warns(DeprecationWarning, match="dense_schur_max_span"):
+        bundle_adjust(recon, BaConfig(dtype="float64", dense_schur_max_span=8))
+
+
 def test_dense_schur_matches_pcg(rng):
     """The dense reduced-camera-system solve (pair_span > 0) must agree
     with the matrix-free PCG path on the joint problem (ba_solver r3)."""

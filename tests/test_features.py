@@ -379,6 +379,52 @@ class TestSlabGatherWidthPadding:
         err = np.abs(np.asarray(got, np.float32)[ok] - want[ok])
         assert err.max() < 2e-2
 
+    def test_pick_samples_respects_vmem_budget(self):
+        """The per-grid-step sample count S shrinks with image width so the
+        (S, 24, w_pad) bf16 slab scratch stays under the Mosaic scoped-vmem
+        budget — a 4K-wide frame previously exceeded 16 MB and failed
+        Mosaic compilation with no XLA fallback (ADVICE r4)."""
+        from sfm_tpu.ops import gather
+
+        assert gather._pick_samples(gather._pad_width(640), 128) == 128
+        for w in (1280, 1920, 4096, 8192):
+            s = gather._pick_samples(gather._pad_width(w), 128)
+            assert s >= 8 and s % 8 == 0
+            assert (
+                s * gather.ROWS * gather._pad_width(w) * 2
+                <= gather._SLAB_BUDGET_BYTES
+            )
+            assert gather.supports(w, 5)
+
+    def test_wide_image_shrinks_samples_and_matches_xla(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from sfm_tpu.ops import gather
+        from sfm_tpu.ops.ncc import bilinear_sample_patches_stack
+
+        w = 4096
+        assert gather._pick_samples(gather._pad_width(w), 128) < 128
+        rng = np.random.default_rng(11)
+        n_img, h, m = 2, 64, 48
+        gray = (rng.random((n_img, h, w)) * 255).astype(np.float32)
+        img = rng.integers(0, n_img, m).astype(np.int32)
+        ctr = np.stack(
+            [rng.uniform(0, w, m), rng.uniform(0, h, m)], 1
+        ).astype(np.float32)
+        patches, inb_want = bilinear_sample_patches_stack(
+            jnp.asarray(gray, jnp.bfloat16), jnp.asarray(img),
+            jnp.asarray(ctr), 5,
+        )
+        want = np.asarray(normalize_descriptors(patches))
+        with pltpu.force_tpu_interpret_mode():
+            got, inb = gather.sample_normalized_patches(
+                jnp.asarray(gray), jnp.asarray(img), jnp.asarray(ctr), 5
+            )
+        np.testing.assert_array_equal(np.asarray(inb), np.asarray(inb_want))
+        ok = np.asarray(inb)
+        err = np.abs(np.asarray(got, np.float32)[ok] - want[ok])
+        assert err.max() < 2e-2
+
     def test_residual_fallback_is_counted_not_silent(self):
         from sfm_tpu.mvs.photoconsistency import photo_consistency
         from sfm_tpu.ops import gather
