@@ -32,7 +32,8 @@ if os.path.exists(_BASELINE_FILE):
     BASELINE_MVS_100K_S = _b.get("ref_mvs_100k_s")
 
 
-def run_pipeline(images, calib, config, mvs: bool, scale: float):
+def run_pipeline(images, calib, config, mvs: bool, scale: float,
+                 defer_fetch: bool = True):
     from sfm_tpu.sfm import structure_from_motion
     from sfm_tpu.ba.run import bundle_adjust
 
@@ -42,7 +43,7 @@ def run_pipeline(images, calib, config, mvs: bool, scale: float):
     # never consumes the refined points (seeds re-triangulate from
     # observations), so the fetch rides entirely under MVS device compute
     # (ba.run.bundle_adjust docstring, round 4).
-    recon, info = bundle_adjust(recon, config.ba, defer_fetch=mvs)
+    recon, info = bundle_adjust(recon, config.ba, defer_fetch=mvs and defer_fetch)
     t_sfm_ba = time.perf_counter() - t0
     t_mvs = 0.0
     dense_points = 0
@@ -51,21 +52,53 @@ def run_pipeline(images, calib, config, mvs: bool, scale: float):
 
         t1 = time.perf_counter()
         dense = dense_reconstruction(images, calib, recon, config.mvs, scale)
-        info["finalize"]()
+        if mvs and defer_fetch:
+            info["finalize"]()
         t_mvs = time.perf_counter() - t1
         dense_points = dense.num_points
     return recon, t_sfm_ba, t_mvs, dense_points
+
+
+def measure_fetch_latency(samples: int = 6) -> float:
+    """Median seconds of one small fresh-buffer device->host fetch.
+
+    The axon tunnel's fixed per-fetch latency (~23 ms nominal) varies ~10%
+    run to run — more than the deltas bench.py is asked to certify
+    (VERDICT r4 item 1).  Measured on FRESH buffers (np.asarray on a
+    jax.Array is cached per buffer) after a sync fetch, so each timed
+    transfer is a pure host round trip, not device compute.
+    """
+    import numpy as _np
+    import jax.numpy as _jnp
+
+    bufs = [_jnp.arange(64) + i for i in range(samples + 1)]
+    _np.asarray(bufs[0])  # sync: all dispatched work done before timing
+    ts = []
+    for b in bufs[1:]:
+        t0 = time.perf_counter()
+        _np.asarray(b)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--skip-mvs", action="store_true")
-    ap.add_argument("--warm", type=int, default=3,
+    ap.add_argument("--warm", type=int, default=8,
                     help="timed runs after the cold (compile) run; the "
                          "headline is the fastest, and the JSON also "
-                         "reports the mean and every sample (remote-tunnel "
-                         "fetch latency varies ~10%% run to run)")
+                         "reports the median, mean and every sample "
+                         "(remote-tunnel fetch latency varies ~10%% run to "
+                         "run — each warm run also records a per-run "
+                         "channel calibration, see fetch_latency_ms_samples)")
+    ap.add_argument("--no-defer-fetch", action="store_true",
+                    help="A/B: eager BA solution fetch (disable the round-4 "
+                         "defer-under-MVS overlap, 100fa9a)")
+    ap.add_argument("--no-seed-overlap", action="store_true",
+                    help="A/B: read the MVS seed payload before dispatching "
+                         "round 1 (disable the round-4 overlap, 225fb0a)")
     ap.add_argument("--data", default="/root/reference/dinoRing")
     ap.add_argument("--no-roofline", action="store_true",
                     help="skip the MFU/bandwidth kernel accounting")
@@ -128,25 +161,48 @@ def main():
             dtype="float32" if backend == "tpu" else "float64",
             refine_cameras=args.refine_cameras,
         ),
-        mvs=MvsConfig(),
+        mvs=MvsConfig(overlap_seed_fetch=not args.no_seed_overlap),
     )
+    defer = not args.no_defer_fetch
 
     # Cold run (includes compilation).
     t0 = time.perf_counter()
     recon, t_sfm_ba, t_mvs, dense_points = run_pipeline(
-        images, calib, config, not args.skip_mvs, scale
+        images, calib, config, not args.skip_mvs, scale, defer
     )
     cold_s = time.perf_counter() - t0
 
-    # Warm runs (steady state).
+    # Warm runs (steady state), each preceded by a channel calibration:
+    # the per-run fixed fetch latency over the remote tunnel, times the
+    # exact number of pipeline fetches (sfm_tpu.utils.fetch), gives a
+    # tunnel-normalized wall that separates engine regressions from
+    # channel weather (VERDICT r4 item 1 — the round-4 driver capture
+    # could not be reconciled with the docs headline for lack of this).
+    from sfm_tpu.utils import fetch as fetch_acct
+
     warm_total = []
+    fetch_ms = []
+    fetch_counts = []
     for _ in range(max(args.warm, 0)):
+        fetch_ms.append(measure_fetch_latency() * 1e3)
+        n0 = fetch_acct.count()
         t0 = time.perf_counter()
         recon, t_sfm_ba, t_mvs, dense_points = run_pipeline(
-            images, calib, config, not args.skip_mvs, scale
+            images, calib, config, not args.skip_mvs, scale, defer
         )
         warm_total.append(time.perf_counter() - t0)
+        fetch_counts.append(fetch_acct.count() - n0)
     wall = min(warm_total) if warm_total else cold_s
+    wall_norm = [
+        w - c * ms / 1e3
+        for w, c, ms in zip(warm_total, fetch_counts, fetch_ms)
+    ]
+
+    def _median(xs):
+        if not xs:
+            return None
+        s = sorted(xs)
+        return s[len(s) // 2]
 
     frames_per_s = n / wall
     vs = None
@@ -167,10 +223,20 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "wall_s": round(wall, 2),
+        "wall_median_s": round(_median(warm_total) or cold_s, 3),
         "wall_mean_s": round(
             sum(warm_total) / len(warm_total) if warm_total else cold_s, 2
         ),
-        "wall_samples_s": [round(w, 2) for w in warm_total],
+        "wall_samples_s": [round(w, 3) for w in warm_total],
+        # Channel calibration: per-run fixed D2H latency (median of 6 small
+        # fresh-buffer fetches) and the exact pipeline fetch count, plus the
+        # tunnel-normalized wall (wall − fetches × latency) — the number
+        # that stays comparable across rounds when the tunnel drifts.
+        "fetch_latency_ms_samples": [round(m, 1) for m in fetch_ms],
+        "d2h_fetches_per_run": fetch_counts,
+        "wall_norm_samples_s": [round(w, 3) for w in wall_norm],
+        "wall_norm_median_s": round(_median(wall_norm), 3)
+        if wall_norm else None,
         "cold_s": round(cold_s, 2),
         "cold_attribution": {
             "tunnel_init_s": round(tunnel_init_s, 2),
@@ -188,6 +254,10 @@ def main():
         "rms_reproj_px": round(recon.rms_reprojection_error(), 4),
         "dense_points": dense_points,
         "refine_cameras": args.refine_cameras,
+        "overlap": {
+            "ba_defer_fetch": defer,
+            "seed_fetch": not args.no_seed_overlap,
+        },
     }
     if not args.no_roofline:
         from sfm_tpu.utils.roofline import full_report

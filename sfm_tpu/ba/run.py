@@ -149,7 +149,9 @@ def bundle_adjust(
         if "final_cost" in info:
             return recon, info
         with timers.stage("fetch"):
-            packed = np.asarray(packed_dev)
+            from sfm_tpu.utils.fetch import fetch as _fetch
+
+            packed = _fetch(packed_dev)
         nc = 12 * problem.cams.shape[0]
         npts = 3 * problem.points.shape[0]
         cams = packed[:nc].reshape(-1, 12)

@@ -189,6 +189,12 @@ class MvsConfig:
     # PMVS visibility-consistency outlier filter (reference implements but
     # disables it at MVS2.py:280-281; here it is a cheap vectorized post-pass).
     enable_outlier_filter: bool = False
+    # Scheduling-only (bitwise-identical output either way): dispatch the
+    # first expansion round BEFORE reading the seed payload so the fixed
+    # ~23 ms tunnel fetch rides under device compute (round 4, 225fb0a).
+    # Exposed as a knob so the A/B can be measured under bench.py's
+    # channel-calibrated methodology (VERDICT r4 item 1).
+    overlap_seed_fetch: bool = True
 
 
 def resolve_photo_views(max_photo_views: int, n_images: int) -> int:

@@ -24,6 +24,7 @@ from sfm_tpu.mvs.cells import make_occupancy
 from sfm_tpu.mvs.expand import expansion_round
 from sfm_tpu.mvs.seed import build_seed_candidates, seed_patches
 from sfm_tpu.sfm.pipeline import SparseReconstruction
+from sfm_tpu.utils.fetch import fetch as _fetch
 from sfm_tpu.utils.metrics import Metrics, StageTimer
 
 
@@ -321,14 +322,18 @@ def dense_reconstruction(
         # host pays the fixed ~23 ms tunnel fetch below.  Guarded so the
         # budget loop would certainly have run it: n_seeds <= num_tracks,
         # so num_tracks < max_patches implies total < max_patches.
-        if config.max_rounds > 0 and recon.num_tracks < config.max_patches:
+        if (
+            config.overlap_seed_fetch
+            and config.max_rounds > 0
+            and recon.num_tracks < config.max_patches
+        ):
             pending = _dispatch()
             skip_first_merge = False
         with timers.stage("seed"):
             # ONE device->host fetch for the whole seed stage; colors are
             # sampled host-side from the original images.
             seed_valid, s_c, s_n, s_score, s_color = unpack_patch_payload(
-                np.asarray(seed_packed), images
+                _fetch(seed_packed), images
             )
             n_seeds = int(seed_valid.sum())
             metrics.record("mvs_num_seeds", n_seeds)
@@ -354,10 +359,10 @@ def dense_reconstruction(
         all_score = [s_score[seed_valid]]
         all_color = [s_color[seed_valid]]
         all_vis = (
-            [np.asarray(seeds["vis"])[seed_valid]] if fetch_visproj else []
+            [_fetch(seeds["vis"])[seed_valid]] if fetch_visproj else []
         )
         all_proj = (
-            [np.asarray(seeds["proj"])[seed_valid]] if fetch_visproj else []
+            [_fetch(seeds["proj"])[seed_valid]] if fetch_visproj else []
         )
 
     backlog_merge_s = 0.0
@@ -417,7 +422,7 @@ def dense_reconstruction(
             ):
                 pending = _dispatch()
             # ONE small fetch per chunk; the frontier stays on device.
-            ph = np.asarray(packed).reshape(chunk, cap + 1, 11)
+            ph = _fetch(packed).reshape(chunk, cap + 1, 11)
             stop = False
             for r in range(chunk):
                 acc_valid, a_c, a_n, a_score, a_color = unpack_patch_payload(
@@ -440,8 +445,8 @@ def dense_reconstruction(
                 all_score.append(a_score[acc_valid])
                 all_color.append(a_color[acc_valid])
                 if fetch_visproj:
-                    all_vis.append(np.asarray(frontier["vis"])[acc_valid])
-                    all_proj.append(np.asarray(frontier["proj"])[acc_valid])
+                    all_vis.append(_fetch(frontier["vis"])[acc_valid])
+                    all_proj.append(_fetch(frontier["proj"])[acc_valid])
                 total += n_acc
                 # Enforce budgets mid-chunk: with rounds_per_call > 1 the
                 # while-condition alone would overshoot max_rounds /

@@ -91,9 +91,11 @@ class SparseReconstruction:
         K = jnp.asarray(self.calib.K[cam_idx])
         R = jnp.asarray(self.calib.R[cam_idx])
         t = jnp.asarray(self.calib.t[cam_idx])
+        from sfm_tpu.utils.fetch import fetch as _fetch
+
         proj = project_pinhole(pts, K, R, t)
         err = np.linalg.norm(
-            np.asarray(proj) - self.track_obs[:, 1:3], axis=-1
+            _fetch(proj) - self.track_obs[:, 1:3], axis=-1
         )
         self._err_vec_cache = (self.world, err)
         return err
@@ -399,7 +401,9 @@ def structure_from_motion(
         # ONE host fetch for the whole stage (stats ride as the last geo
         # row); F only under --debug — each extra array costs a fixed
         # ~23 ms over the tunnel.
-        payload = np.asarray(geo_d)[:n_pairs]
+        from sfm_tpu.utils.fetch import fetch as _fetch
+
+        payload = _fetch(geo_d)[:n_pairs]
         geo = payload[:, :-1]
         stats = payload[:, -1, :4]
         p1_h = geo[..., 0:2].astype(np.int32)
