@@ -274,14 +274,8 @@ def _expansion_round_impl(
         jnp.linalg.norm(d, axis=-1) < config.neighbor_radius_scaled / scale
     )
     finite = jnp.all(jnp.isfinite(c_new), axis=-1)
-    accept = (
-        sel_valid
-        & ray_ok
-        & finite
-        & (cnt >= visible_lower_bound)
-        & coplanar
-        & near
-    )
+    geom_ok = sel_valid & ray_ok & finite & coplanar & near
+    accept = geom_ok & (cnt >= visible_lower_bound)
 
     # --- Intra-round dedup: one winner per target cell (the parallel
     # analogue of the reference's first-come sequential claim). ---
@@ -293,6 +287,7 @@ def _expansion_round_impl(
     claim_key = jnp.where(accept, score - idx * 1e-7, -jnp.inf)
     best = jnp.full((occupancy.size,), -jnp.inf, claim_key.dtype)
     best = best.at[lin].max(claim_key)
+    accept_pre_dedup = accept
     accept = accept & (claim_key >= best[lin]) & jnp.isfinite(claim_key)
 
     # --- Occupancy update: visible hits + own target/ref cells. ---
@@ -321,8 +316,21 @@ def _expansion_round_impl(
         proj, img[:, None, None].astype(jnp.int32).repeat(2, -1), axis=1
     )[:, 0]
     packed = pack_patch_payload(c_new, n_new, score, ref_pix, img, accept)
+    # Tail row: round diagnostics riding the existing single fetch (free —
+    # the row exists anyway).  Slots 2..6 are the acceptance-funnel counts
+    # that size any pre-gating opportunity (VERDICT r4 item 2): how many
+    # candidates were actually scored, how many survive the cheap geometric
+    # gates, and how much photo-consistency work went to eventual rejects.
+    def _ct(m):
+        return jnp.sum(m.astype(jnp.int32)).astype(jnp.float32)
+
     tail = jnp.zeros((1, packed.shape[1]), jnp.float32)
     tail = tail.at[0, 0].set(n_candidates.astype(jnp.float32))
     tail = tail.at[0, 1].set(hits_dropped.astype(jnp.float32))
+    tail = tail.at[0, 2].set(_ct(sel_valid))             # scored candidates
+    tail = tail.at[0, 3].set(_ct(sel_valid & ray_ok & finite))
+    tail = tail.at[0, 4].set(_ct(geom_ok))               # + coplanar + near
+    tail = tail.at[0, 5].set(_ct(accept_pre_dedup))      # + NCC view count
+    tail = tail.at[0, 6].set(_ct(accept))                # post cell dedup
     packed = jnp.concatenate([packed, tail], axis=0)
     return accepted, occupancy, packed

@@ -78,6 +78,15 @@ def unpack_patch_payload(ph, images):
     return valid, ph[:, 0:3], ph[:, 3:6], ph[:, 6], colors
 
 
+def _thr_col(min_ncc):
+    """NCC threshold as a broadcastable column: scalar, or per-candidate
+    (M,) vector (the post-pass visibility recompute scores seeds and
+    expansion patches in one batch with their respective 0.4/0.7
+    thresholds — mvs.filter)."""
+    thr = jnp.asarray(min_ncc)
+    return thr[:, None] if thr.ndim == 1 else thr
+
+
 @functools.partial(
     jax.jit, static_argnames=("wid", "max_views", "use_pallas", "mesh")
 )
@@ -182,7 +191,7 @@ def photo_consistency(
     not_ref = (
         jnp.arange(n_img, dtype=jnp.int32)[None, :] != ref_idx[:, None]
     )
-    vis = (ncc > min_ncc) & inb & ref_inb[:, None] & not_ref
+    vis = (ncc > _thr_col(min_ncc)) & inb & ref_inb[:, None] & not_ref
     scores = jnp.where(vis, ncc, 0.0)
     vis_count = jnp.sum(vis.astype(jnp.int32), axis=1)
     score_mean = jnp.sum(scores, axis=1) / jnp.maximum(vis_count, 1)
@@ -273,7 +282,8 @@ def _photo_consistency_gated(
         * ncc_scale
     )
     vis_v = (
-        (ncc[:, 1:] > min_ncc) & inb_v[:, 1:] & inb_v[:, :1] & pick_ok
+        (ncc[:, 1:] > _thr_col(min_ncc)) & inb_v[:, 1:] & inb_v[:, :1]
+        & pick_ok
     )                                                     # (M, V-1)
     scores = jnp.where(vis_v, ncc[:, 1:], 0.0)
     vis_count = jnp.sum(vis_v.astype(jnp.int32), axis=1)

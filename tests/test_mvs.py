@@ -353,6 +353,67 @@ class TestOutlierFilter:
             np.zeros((0, 2, 2), np.float32), 2, 320, 240)
         assert keep.shape == (0,)
 
+    def test_device_filter_matches_host_oracle(self):
+        """filter_outliers_device (the jitted sorted-shifted-window
+        formulation, round 5) must produce the identical keep-mask to the
+        host implementation on dense random incidence data."""
+        import jax.numpy as jnp
+
+        from sfm_tpu.mvs.filter import filter_outliers, filter_outliers_device
+
+        rng = np.random.default_rng(42)
+        d, n, gw, gh = 600, 6, 40, 30
+        points = rng.normal(size=(d, 3)).astype(np.float32) * 0.05
+        normals = rng.normal(size=(d, 3)).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        scores = rng.uniform(0.2, 1.0, d).astype(np.float32)
+        vis = rng.random((d, n)) < 0.5
+        # Cluster projections so many cells hold several patches.
+        proj = rng.uniform(0, 16, (d, n, 2)).astype(np.float32)
+        keep_host = filter_outliers(
+            points, normals, scores, vis, proj, 2, gw, gh
+        )
+        keep_dev, max_group, dropped = filter_outliers_device(
+            jnp.asarray(points), jnp.asarray(normals), jnp.asarray(scores),
+            jnp.asarray(vis), jnp.asarray(proj),
+            jnp.ones(d, bool), 2, gw, gh, g_cap=128,
+        )
+        assert int(max_group) <= 128  # else the comparison is vacuous
+        assert int(max_group) > 2     # the data must actually exercise pairs
+        assert int(dropped) == 0
+        np.testing.assert_array_equal(np.asarray(keep_dev), keep_host)
+
+    def test_device_filter_padding_rows_inert(self):
+        import jax.numpy as jnp
+
+        from sfm_tpu.mvs.filter import filter_outliers, filter_outliers_device
+
+        rng = np.random.default_rng(3)
+        d, pad, n, gw, gh = 200, 57, 4, 40, 30
+        points = rng.normal(size=(d, 3)).astype(np.float32) * 0.05
+        normals = rng.normal(size=(d, 3)).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        scores = rng.uniform(0.2, 1.0, d).astype(np.float32)
+        vis = rng.random((d, n)) < 0.6
+        proj = rng.uniform(0, 12, (d, n, 2)).astype(np.float32)
+        keep_host = filter_outliers(
+            points, normals, scores, vis, proj, 2, gw, gh
+        )
+        # Pad rows marked invalid but carrying colliding garbage data.
+        def padded(a, fill):
+            return np.concatenate(
+                [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
+            )
+        keep_dev, _, _ = filter_outliers_device(
+            jnp.asarray(padded(points, 0)), jnp.asarray(padded(normals, 1)),
+            jnp.asarray(padded(scores, 0)),
+            jnp.asarray(padded(vis, True)), jnp.asarray(padded(proj, 10.0)),
+            jnp.asarray(np.arange(d + pad) < d), 2, gw, gh, g_cap=128,
+        )
+        keep_dev = np.asarray(keep_dev)
+        np.testing.assert_array_equal(keep_dev[:d], keep_host)
+        assert not keep_dev[d:].any()  # pad rows never kept
+
     def test_pipeline_flag(self, dino_images_cls, dino_calib_cls):
         from sfm_tpu.sfm import structure_from_motion
         from sfm_tpu.config import PipelineConfig, FeatureConfig
@@ -366,7 +427,117 @@ class TestOutlierFilter:
                             enable_outlier_filter=True)
         d = dense_reconstruction(imgs, cal, recon, mvs_cfg, scale=10.0)
         assert "mvs_filtered_out" in d.metrics.values
+        assert "mvs_filter_max_cell_group" in d.metrics.values
         assert d.num_points > 0
+
+    def test_seed_visibility_recompute_matches_stored(
+        self, dino_images_cls, dino_calib_cls
+    ):
+        """The device filter RECOMPUTES vis/proj instead of fetching them per
+        round; that is only exact if the standalone scoring program
+        reproduces the visibility computed inside the bigger seeding/round
+        programs bit-for-bit.  Checked here at the seed stage (the same
+        photo_consistency is inlined into seed_patches)."""
+        import jax.numpy as jnp
+
+        from sfm_tpu.config import resolve_photo_views
+        from sfm_tpu.io.images import device_gray
+        from sfm_tpu.mvs.cells import make_occupancy
+        from sfm_tpu.mvs.photoconsistency import photo_consistency
+        from sfm_tpu.mvs.seed import build_seed_candidates, seed_patches
+        from sfm_tpu.sfm import structure_from_motion
+        from sfm_tpu.config import PipelineConfig, FeatureConfig
+
+        imgs, _ = dino_images_cls
+        cal = dino_calib_cls.subset(range(8))
+        cfg = PipelineConfig(
+            features=FeatureConfig(max_corners=1024, max_matches=512))
+        recon = structure_from_motion(imgs, cal, cfg)
+        mvs_cfg = MvsConfig()
+        gray = device_gray(imgs)
+        K = jnp.asarray(cal.K.astype(np.float32))
+        R = jnp.asarray(cal.R.astype(np.float32))
+        t = jnp.asarray(cal.t.astype(np.float32))
+        centers = jnp.asarray(cal.centers.astype(np.float32))
+        occ = make_occupancy(*imgs.shape[:3], mvs_cfg.cell_size)
+        tid, ref_obs, oth = build_seed_candidates(
+            recon.track_offsets, recon.track_obs)
+        seeds, _, _ = seed_patches(
+            gray, K, R, t, centers,
+            jnp.asarray(tid), jnp.asarray(ref_obs), jnp.asarray(oth),
+            recon.num_tracks, occ, mvs_cfg, 3,
+        )
+        pv = resolve_photo_views(mvs_cfg.max_photo_views, imgs.shape[0])
+        vis2, proj2, _, _ = photo_consistency(
+            gray, K, R, t, seeds["c"], seeds["ref"],
+            mvs_cfg.min_ncc_seed, mvs_cfg.patch_wid, pv,
+        )
+        valid = np.asarray(seeds["valid"])
+        assert valid.sum() > 100
+        np.testing.assert_array_equal(
+            np.asarray(seeds["vis"])[valid], np.asarray(vis2)[valid]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(seeds["proj"])[valid], np.asarray(proj2)[valid]
+        )
+
+    @pytest.mark.parametrize("max_views", [0, 5])
+    def test_device_filter_pipeline_matches_host_oracle(
+        self, dino_images_cls, dino_calib_cls, max_views
+    ):
+        """End-to-end: the filter-on pipeline (device recompute + jitted
+        pairwise rule, round 5) must equal the host filter_outliers oracle
+        applied to the filter-off cloud, for both the ungated (reference-
+        exact) and the V-gated scoring paths."""
+        import jax.numpy as jnp
+
+        from sfm_tpu.config import (
+            PipelineConfig, FeatureConfig, resolve_photo_views,
+        )
+        from sfm_tpu.io.images import device_gray
+        from sfm_tpu.mvs.cells import grid_shape
+        from sfm_tpu.mvs.filter import filter_outliers
+        from sfm_tpu.mvs.photoconsistency import photo_consistency
+        from sfm_tpu.sfm import structure_from_motion
+
+        imgs, _ = dino_images_cls
+        cal = dino_calib_cls.subset(range(8))
+        cfg = PipelineConfig(
+            features=FeatureConfig(max_corners=1024, max_matches=512))
+        recon = structure_from_motion(imgs, cal, cfg)
+        base = MvsConfig(round_capacity=2048, max_rounds=3,
+                         max_photo_views=max_views)
+        d0 = dense_reconstruction(imgs, cal, recon, base, scale=10.0)
+        import dataclasses
+
+        d1 = dense_reconstruction(
+            imgs, cal, recon,
+            dataclasses.replace(base, enable_outlier_filter=True),
+            scale=10.0,
+        )
+        # Host oracle on the filter-off cloud with recomputed visibility.
+        gray = device_gray(imgs)
+        K = jnp.asarray(cal.K.astype(np.float32))
+        R = jnp.asarray(cal.R.astype(np.float32))
+        t = jnp.asarray(cal.t.astype(np.float32))
+        pv = resolve_photo_views(max_views, imgs.shape[0])
+        thr = np.where(
+            np.arange(d0.num_points) < d0.num_seeds,
+            base.min_ncc_seed, base.min_ncc_expand,
+        ).astype(np.float32)
+        vis, proj, _, _ = photo_consistency(
+            gray, K, R, t, jnp.asarray(d0.points), jnp.asarray(d0.refs),
+            jnp.asarray(thr), base.patch_wid, pv,
+        )
+        gw, gh = grid_shape(imgs.shape[1], imgs.shape[2], base.cell_size)
+        keep = filter_outliers(
+            d0.points, d0.normals, d0.scores,
+            np.asarray(vis), np.asarray(proj), base.cell_size, gw, gh,
+        )
+        assert (~keep).sum() >= 0
+        np.testing.assert_array_equal(d1.points, d0.points[keep])
+        np.testing.assert_array_equal(d1.colors, d0.colors[keep])
+        assert d1.num_seeds == int(keep[: d0.num_seeds].sum())
 
 
 class TestFrontierOverflow:

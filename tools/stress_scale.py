@@ -46,6 +46,12 @@ def main():
     ap.add_argument("--max_matches", type=int, default=2048)
     ap.add_argument("--round_capacity", type=int, default=32768)
     ap.add_argument("--max_patches", type=int, default=300_000)
+    ap.add_argument("--out", default=None,
+                    help="write a machine-readable STRESS_r*.json artifact "
+                         "(VERDICT r4 item 6): warm walls, point count, "
+                         "sphere-distance envelope, matcher MFU, plus a "
+                         "pass/fail gate against the recorded round-4 "
+                         "baseline (2.53 s / 302,081 points / 45%% MFU)")
     args = ap.parse_args()
 
     from sfm_tpu.config import (
@@ -154,6 +160,57 @@ def main():
         mvs_m=args.round_capacity // 2,
     )
     print("ROOFLINE " + json.dumps(rep), flush=True)
+
+    if args.out:
+        # Machine-readable stress artifact + quality-envelope gate
+        # (VERDICT r4 item 6 — the 96x1280x960 record lived only in prose).
+        # Baseline: round-4 re-run (BASELINE.md "Scale stress"): 2.53 s,
+        # 302,081 points, sphere-distance median 0.0113 / p95 0.0379,
+        # matcher 45% MFU, backlog 0.
+        gates = {
+            "dense_points_min": 290_000,
+            "sphere_dist_median_max": 0.013,
+            "sphere_dist_p95_max": 0.045,
+            "backlog_remaining_max": 0,
+            "matcher_mfu_min": 0.40,
+        }
+        mfu = rep.get("matcher", {}).get("mfu", 0.0)
+        checks = {
+            "dense_points": dense2.num_points >= gates["dense_points_min"],
+            "sphere_dist_median": result["sphere_dist_median"]
+            <= gates["sphere_dist_median_max"],
+            "sphere_dist_p95": result["sphere_dist_p95"]
+            <= gates["sphere_dist_p95_max"],
+            "backlog_remaining": result["backlog_remaining"]
+            <= gates["backlog_remaining_max"],
+            "matcher_mfu": mfu >= gates["matcher_mfu_min"],
+        }
+        artifact = {
+            "config": {
+                "frames": args.frames,
+                "res": f"{args.width}x{args.height}",
+                "max_corners": args.max_corners,
+                "max_matches": args.max_matches,
+                "round_capacity": args.round_capacity,
+                "max_patches": args.max_patches,
+            },
+            "cold": result,
+            "warm": {
+                "sfm_s": round(t_sfm2, 2), "ba_s": round(t_ba2, 2),
+                "mvs_s": round(t_mvs2, 2), "wall_s": round(wall2, 2),
+                "frames_per_s": round(args.frames / wall2, 2),
+                "dense_points": dense2.num_points,
+            },
+            "matcher_mfu": round(mfu, 4),
+            "gates": gates,
+            "checks": checks,
+            "pass": all(checks.values()),
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {args.out} (pass={artifact['pass']})", flush=True)
+        if not artifact["pass"]:
+            sys.exit(1)
 
 
 if __name__ == "__main__":
