@@ -161,6 +161,23 @@ class TestPhotoConsistency:
         assert int(cnt[0]) == 0
 
 
+def test_ordered_compact_matches_nonzero():
+    """ordered_compact must be bitwise-equal to jnp.nonzero(size, fill) on
+    every regime: underfull, exactly full, overflowing, empty, all-true."""
+    from sfm_tpu.mvs.expand import ordered_compact
+
+    rng = np.random.default_rng(17)
+    for n, cap, p in [
+        (64, 16, 0.1), (64, 16, 0.9), (512, 512, 0.5),
+        (1000, 32, 0.5), (128, 64, 0.0), (128, 64, 1.0),
+        (524288, 32768, 0.25),
+    ]:
+        flags = jnp.asarray(rng.random(n) < p)
+        want = jnp.nonzero(flags, size=cap, fill_value=n - 1)[0]
+        got = ordered_compact(flags, cap, n - 1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 class TestExpansionRound:
     """Direct expansion_round coverage: the gated hit-compacted enumeration
     (max_photo_views > 0) and its ungated degenerate (== 0, hit_cap = F*N)."""
