@@ -61,10 +61,22 @@ def build_problem(
     track_obs: np.ndarray,
     dtype=jnp.float32,
     pad_to: int = 1024,
+    pad_points_to: int = 1024,
+    pad_cams_to: int = 8,
 ) -> BAProblem:
     """Flatten tracks into a padded BAProblem.
 
     Args mirror SparseReconstruction.{world, track_offsets, track_obs}.
+
+    Points and cameras are also shape-bucketed (pad_points_to /
+    pad_cams_to) so new datasets reuse the compiled solver (VERDICT r4
+    item 4).  Padding is exact by construction: pad observations are
+    masked, pad points/cameras have no observations, so their normal-
+    equation blocks are pure Marquardt-eps diagonals decoupled from every
+    real parameter — appended decoupled rows change no reduction term and
+    no leading Cholesky block, so the LM trajectory of the real parameters
+    is bitwise what the unpadded problem produces (padding-invariance
+    tests in tests/test_ba.py).
     """
     n_tracks = world.shape[0]
     n_obs = track_obs.shape[0]
@@ -78,6 +90,17 @@ def build_problem(
     # to re-upload the result; BAProblem.cams is a device array anyway.
     rv = rodrigues_vector(jnp.asarray(calib.R))
     cams = pack_cam(jnp.asarray(calib.K), rv, jnp.asarray(calib.t))
+    if pad_cams_to > 1:
+        c_pad = _pad_len(calib.num_views, pad_cams_to) - calib.num_views
+        if c_pad:
+            cams = jnp.concatenate(
+                [cams, jnp.zeros((c_pad, cams.shape[1]), cams.dtype)]
+            )
+    points = np.asarray(world, np.float64)
+    if pad_points_to > 1:
+        t_pad = _pad_len(n_tracks, pad_points_to) - n_tracks
+        if t_pad:
+            points = np.concatenate([points, np.zeros((t_pad, 3))])
 
     o_pad = _pad_len(n_obs, pad_to)
     pad = o_pad - n_obs
@@ -88,7 +111,7 @@ def build_problem(
 
     return BAProblem(
         cams=jnp.asarray(cams, dtype),
-        points=jnp.asarray(world, dtype),
+        points=jnp.asarray(points, dtype),
         cam_idx=jnp.asarray(cam_idx, jnp.int32),
         point_idx=jnp.asarray(point_idx, jnp.int32),
         obs_2d=jnp.asarray(obs_2d, dtype),

@@ -174,7 +174,8 @@ def bundle_adjust(
             )
         )
         if config.refine_cameras:
-            info["cams11"] = cams
+            # Slice off shape-bucketing's padded camera rows (ba.problem).
+            info["cams11"] = cams[: recon.calib.num_views]
         recon.metrics.record("ba_final_cost", info["final_cost"])
         recon.metrics.record("ba_iterations", info["iterations"])
         # With frozen cameras the refined-parameter rms IS the rms against

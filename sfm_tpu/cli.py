@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "very slow', MVS2.py:280-281; here it is a cheap "
                         "vectorized exact-pairwise pass, off by default to "
                         "match reference output)")
+    p.add_argument("--no_shape_buckets", action="store_true",
+                   help="disable shape bucketing (images/pairs/tracks "
+                        "padded to a standard ladder so new datasets reuse "
+                        "compiled programs; outputs identical either way)")
     p.add_argument("--ba_dtype", default=None,
                    help="float32|float64 (default: f64 on cpu, f32 on tpu)")
     # Orchestration.
@@ -121,10 +125,12 @@ def config_from_args(args):
             max_patches=args.mvs_max_patches,
             max_photo_views=args.mvs_max_views,
             enable_outlier_filter=args.enable_outlier_filter,
+            shape_buckets=not args.no_shape_buckets,
         ),
         runtime=RuntimeConfig(
             mesh_shape=args.mesh_devices,
             checkpoint_dir=args.checkpoint_dir,
+            shape_buckets=not args.no_shape_buckets,
         ),
     )
 

@@ -195,6 +195,12 @@ class MvsConfig:
     # Exposed as a knob so the A/B can be measured under bench.py's
     # channel-calibrated methodology (VERDICT r4 item 1).
     overlap_seed_fetch: bool = True
+    # Round data-dependent shapes (image count, seed-candidate/track
+    # counts) up to a standard ladder so a new dataset reuses compiled
+    # programs (utils/buckets.py; VERDICT r4 item 4 — temple onboarding
+    # paid 481 s of remote compiles for a new shape family).  Padding is
+    # inert/masked; outputs are identical either way (equality-tested).
+    shape_buckets: bool = True
 
 
 def resolve_photo_views(max_photo_views: int, n_images: int) -> int:
@@ -224,6 +230,10 @@ class RuntimeConfig:
     # Devices along the single "data" mesh axis used by sharded BA / MVS.
     mesh_shape: Optional[int] = None   # None = all visible devices
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no)
+    # Shape bucketing for the SfM stage (images/pairs padded to the
+    # utils/buckets.py ladder; MVS has its own knob on MvsConfig since
+    # dense_reconstruction doesn't see RuntimeConfig).  See MvsConfig.
+    shape_buckets: bool = True
     checkpoint_dir: Optional[str] = None  # stage checkpoints (tracks/BA) for resume
     profile_dir: Optional[str] = None     # jax.profiler trace output
     seed: int = 0

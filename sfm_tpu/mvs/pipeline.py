@@ -200,6 +200,13 @@ def dense_reconstruction(
     """
     from sfm_tpu.utils import checkpoint as ckpt
 
+    import dataclasses
+
+    from sfm_tpu.config import resolve_photo_views
+    from sfm_tpu.utils.buckets import (
+        bucket_images, bucket_multiple, pad_calibration,
+    )
+
     timers = StageTimer()
     metrics = Metrics()
     n, h, w = images.shape[0], images.shape[1], images.shape[2]
@@ -212,15 +219,30 @@ def dense_reconstruction(
     # intent is plainly "require the one other view", i.e. bound 1.
     bound = config.visible_lower_bound if n > 2 else 1
 
+    # Shape bucketing (utils/buckets.py): pad the image axis to the ladder
+    # with inert cameras so a new dataset reuses compiled programs.  The
+    # view-gate auto rule must see the REAL image count (a 12-image rig
+    # padded to 16 must stay ungated), so the knob is resolved here and
+    # pinned into the config every downstream program sees.
+    config = dataclasses.replace(
+        config, max_photo_views=resolve_photo_views(config.max_photo_views, n)
+    )
+    n_b = bucket_images(n) if config.shape_buckets else n
+    calib_dev = pad_calibration(calib, n_b) if n_b > n else calib
+
     gray = device_gray(images)
-    K = jnp.asarray(calib.K.astype(np.float32))
-    R = jnp.asarray(calib.R.astype(np.float32))
-    t = jnp.asarray(calib.t.astype(np.float32))
-    centers_cam = jnp.asarray(calib.centers.astype(np.float32))
-    occupancy = make_occupancy(n, h, w, config.cell_size)
+    if n_b > n:
+        gray = jnp.pad(gray, ((0, n_b - n), (0, 0), (0, 0)))
+        metrics.record("mvs_image_axis_padded", n_b - n)
+    K = jnp.asarray(calib_dev.K.astype(np.float32))
+    R = jnp.asarray(calib_dev.R.astype(np.float32))
+    t = jnp.asarray(calib_dev.t.astype(np.float32))
+    centers_cam = jnp.asarray(calib_dev.centers.astype(np.float32))
+    occupancy = make_occupancy(n_b, h, w, config.cell_size)
 
     fingerprint = (
-        _mvs_fingerprint(images, config, bound, scale) if checkpoint_dir else ""
+        _mvs_fingerprint(images, config, bound, scale) + f"|nb{n_b}"
+        if checkpoint_dir else ""
     )
     state = ckpt.load_mvs_state(checkpoint_dir)
     resumed = state is not None
@@ -268,10 +290,30 @@ def dense_reconstruction(
             track_id, ref_obs, other_obs = build_seed_candidates(
                 recon.track_offsets, recon.track_obs
             )
+            n_cand = track_id.shape[0]
+            n_tracks = recon.num_tracks
+            cand_valid = None
+            if config.shape_buckets:
+                c_b = bucket_multiple(n_cand, 2048)
+                t_b = bucket_multiple(n_tracks, 1024)
+                if c_b > n_cand:
+                    pad_c = c_b - n_cand
+                    track_id = np.concatenate(
+                        [track_id, np.zeros(pad_c, track_id.dtype)]
+                    )
+                    ref_obs = np.concatenate(
+                        [ref_obs, np.zeros((pad_c, 3), ref_obs.dtype)]
+                    )
+                    other_obs = np.concatenate(
+                        [other_obs, np.zeros((pad_c, 3), other_obs.dtype)]
+                    )
+                cand_valid = jnp.asarray(np.arange(c_b) < n_cand)
+                n_tracks = t_b
             seeds, occupancy, seed_packed = seed_patches(
                 gray, K, R, t, centers_cam,
                 jnp.asarray(track_id), jnp.asarray(ref_obs), jnp.asarray(other_obs),
-                recon.num_tracks, occupancy, config, bound,
+                n_tracks, occupancy, config, bound,
+                cand_valid=cand_valid,
             )
             # The seed payload (ONE device->host fetch for the whole stage)
             # is read AFTER the first expansion round is dispatched — see

@@ -63,6 +63,7 @@ def seed_patches(
     occupancy,
     config: MvsConfig,
     visible_lower_bound: int,
+    cand_valid=None,
 ):
     """Batched seeding.
 
@@ -98,6 +99,11 @@ def seed_patches(
         resolve_photo_views(config.max_photo_views, gray.shape[0]),
     )
     passing = nondeg & (cnt >= visible_lower_bound)
+    if cand_valid is not None:
+        # Shape bucketing pads the candidate axis; pad rows are explicitly
+        # masked (their zero-pixel pseudo-triangulations would usually fail
+        # nondeg anyway, but the mask is the guarantee).
+        passing = passing & cand_valid
 
     # Nearest-first, first-passing per track via two segment mins.
     key = jnp.where(passing, dist, _BIG)

@@ -192,10 +192,12 @@ def _make_pair_program(config: PipelineConfig, num_matches: int, mesh=None):
         # program — building them eagerly costs 14 separate device
         # dispatches per pipeline call (~50 ms of launch overhead over a
         # remote link) for what is one fused gather pass under jit.
-        def run(desc, valid, corners, P, K, R, t, ia, ib, keys):
+        # ``real`` masks shape-bucketing's padded pair rows (their features
+        # are zero anyway, but the explicit mask guarantees no output).
+        def run(desc, valid, corners, P, K, R, t, ia, ib, keys, real):
             args = (
-                desc[ia], valid[ia], corners[ia],
-                desc[ib], valid[ib], corners[ib],
+                desc[ia], valid[ia] & real[:, None], corners[ia],
+                desc[ib], valid[ib] & real[:, None], corners[ib],
                 P[ia], P[ib],
                 K[ia], R[ia], t[ia], K[ib], R[ib], t[ib],
                 keys,
@@ -335,11 +337,31 @@ def structure_from_motion(
     n_pairs = len(pairs)
     ia = np.asarray([p[0] for p in pairs])
     ib = np.asarray([p[1] for p in pairs])
+    # Shape bucketing (utils/buckets.py): image count and pair count round
+    # up to a standard ladder so a new dataset whose buckets were compiled
+    # before runs warm-from-cache.  Pad pairs are (0, 0) with an explicit
+    # invalid mask; pad images are zeros with inert cameras.  For exact
+    # bucketed-vs-unbucketed equality the real pairs' RANSAC keys must not
+    # depend on the padded count, so keys are split for n_pairs and padded.
+    from sfm_tpu.utils.buckets import (
+        bucket_images, bucket_pairs, pad_calibration,
+    )
+
+    bucketing = config.runtime.shape_buckets
+    n_b = bucket_images(n) if bucketing else n
+    calib_dev = pad_calibration(calib, n_b) if n_b > n else calib
+    pairs_b = (
+        bucket_pairs(n_b, config.sfm.pair_mode) if bucketing else n_pairs
+    )
+    if pairs_b > n_pairs:
+        ia = np.concatenate([ia, np.zeros(pairs_b - n_pairs, ia.dtype)])
+        ib = np.concatenate([ib, np.zeros(pairs_b - n_pairs, ib.dtype)])
+        metrics.record("pair_axis_padded", pairs_b - n_pairs)
     n_dev = mesh.size if mesh is not None else 1
     if mesh is not None:
         # Static-shape padding to a multiple of the mesh (dummy rows are
         # masked invalid and sliced off after the fetch).
-        pad_pairs = (-n_pairs) % n_dev
+        pad_pairs = (-len(ia)) % n_dev
         ia = np.concatenate([ia, np.zeros(pad_pairs, ia.dtype)])
         ib = np.concatenate([ib, np.zeros(pad_pairs, ib.dtype)])
 
@@ -347,11 +369,15 @@ def structure_from_motion(
         # Ship uint8 to the device and convert there: 4x less H2D traffic
         # (material over a remote-TPU tunnel) and the conversion fuses.
         gray = device_gray(images)
-        # Pad the image axis to a multiple of the mesh so feature detection
-        # ALWAYS shards (47 images on 8 devices used to silently fall back
-        # to single-device — VERDICT r2 weak #1).  Pad rows are zero images;
-        # their outputs are never referenced (ia/ib index only real images).
-        pad_imgs = (-n) % n_dev if mesh is not None else 0
+        # Pad the image axis: first to the shape bucket, then to a
+        # multiple of the mesh so feature detection ALWAYS shards (47
+        # images on 8 devices used to silently fall back to single-device
+        # — VERDICT r2 weak #1).  Pad rows are zero images; their outputs
+        # are never referenced (ia/ib index only real images, pad pairs
+        # are masked).
+        pad_imgs = n_b - n
+        if mesh is not None:
+            pad_imgs += (-n_b) % n_dev
         if pad_imgs:
             gray = jnp.pad(gray, ((0, pad_imgs), (0, 0), (0, 0)))
             metrics.record("features_image_axis_padded", pad_imgs)
@@ -369,13 +395,18 @@ def structure_from_motion(
         # and smaller).
 
     with timers.stage("pair_geometry"):
-        K = jnp.asarray(calib.K.astype(np.float32))
-        R = jnp.asarray(calib.R.astype(np.float32))
-        t = jnp.asarray(calib.t.astype(np.float32))
+        K = jnp.asarray(calib_dev.K.astype(np.float32))
+        R = jnp.asarray(calib_dev.R.astype(np.float32))
+        t = jnp.asarray(calib_dev.t.astype(np.float32))
         P = projection_matrix(K, R, t)
         keys = jax.random.split(
-            jax.random.PRNGKey(config.runtime.seed), len(ia)
+            jax.random.PRNGKey(config.runtime.seed), n_pairs
         )
+        if len(ia) > n_pairs:
+            keys = jnp.concatenate(
+                [keys, jnp.zeros((len(ia) - n_pairs, 2), keys.dtype)]
+            )
+        real = jnp.asarray(np.arange(len(ia)) < n_pairs)
         run_pairs = _make_pair_program(
             _pair_cache_key(config), config.features.max_matches, mesh
         )
@@ -383,13 +414,13 @@ def structure_from_motion(
             geo_d, F_d = run_pairs(
                 fs.descriptors, fs.valid, fs.corners, P, K, R, t,
                 jnp.asarray(ia, jnp.int32), jnp.asarray(ib, jnp.int32),
-                keys,
+                keys, real,
             )
         else:
             val_a, val_b = fs.valid[ia], fs.valid[ib]
             if len(ia) > n_pairs:
-                real = (jnp.arange(len(ia)) < n_pairs)[:, None]
-                val_a, val_b = val_a & real, val_b & real
+                val_a = val_a & real[:, None]
+                val_b = val_b & real[:, None]
             args = (
                 fs.descriptors[ia], val_a, fs.corners[ia],
                 fs.descriptors[ib], val_b, fs.corners[ib],
