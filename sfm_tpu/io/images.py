@@ -59,8 +59,13 @@ def _cache_key(images: np.ndarray):
     )
 
 
-def device_gray(images: np.ndarray):
+def device_gray(images: np.ndarray, pad_to: int = 0):
     """Upload the grayscale image stack once per process, shared by stages.
+
+    ``pad_to > N`` appends zero images BEFORE upload (host-side), so the
+    conversion program and every consumer is keyed on the shape BUCKET, not
+    the raw image count — a new dataset in a seen bucket compiles nothing
+    (utils/buckets.py).
 
     SfM and MVS both consume the same stack; over a remote-TPU link every
     transferred byte counts, so grayscale is computed on the HOST, quantized
@@ -78,11 +83,16 @@ def device_gray(images: np.ndarray):
 
     import jax.numpy as jnp
 
-    key = _cache_key(images)
+    key = _cache_key(images) + (pad_to,)
     hit = _DEVICE_CACHE.get(key)
     if hit is not None:
         return hit
     gray_u8 = np.rint(to_gray(images)).astype(np.uint8)
+    if pad_to > gray_u8.shape[0]:
+        n, h, w = gray_u8.shape
+        gray_u8 = np.concatenate(
+            [gray_u8, np.zeros((pad_to - n, h, w), np.uint8)]
+        )
     gray = jnp.asarray(gray_u8).astype(jnp.float32)
     _DEVICE_CACHE[key] = gray
     try:

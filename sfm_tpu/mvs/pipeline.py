@@ -230,9 +230,8 @@ def dense_reconstruction(
     n_b = bucket_images(n) if config.shape_buckets else n
     calib_dev = pad_calibration(calib, n_b) if n_b > n else calib
 
-    gray = device_gray(images)
+    gray = device_gray(images, pad_to=n_b)
     if n_b > n:
-        gray = jnp.pad(gray, ((0, n_b - n), (0, 0), (0, 0)))
         metrics.record("mvs_image_axis_padded", n_b - n)
     K = jnp.asarray(calib_dev.K.astype(np.float32))
     R = jnp.asarray(calib_dev.R.astype(np.float32))

@@ -87,6 +87,18 @@ class SparseReconstruction:
             np.arange(self.num_tracks), self.track_lengths()
         )
         cam_idx = self.track_obs[:, 0]
+        # Bucket the observation axis (1024 multiples) so the projection
+        # program is shape-stable across datasets/BA reruns; pad rows
+        # replicate row 0 and are sliced off (utils/buckets.py).
+        o = point_idx.shape[0]
+        o_b = -(-max(o, 1) // 1024) * 1024
+        if o_b > o:
+            point_idx = np.concatenate(
+                [point_idx, np.zeros(o_b - o, point_idx.dtype)]
+            )
+            cam_idx = np.concatenate(
+                [cam_idx, np.zeros(o_b - o, cam_idx.dtype)]
+            )
         pts = jnp.asarray(self.world[point_idx])
         K = jnp.asarray(self.calib.K[cam_idx])
         R = jnp.asarray(self.calib.R[cam_idx])
@@ -95,7 +107,7 @@ class SparseReconstruction:
 
         proj = project_pinhole(pts, K, R, t)
         err = np.linalg.norm(
-            _fetch(proj) - self.track_obs[:, 1:3], axis=-1
+            _fetch(proj)[:o] - self.track_obs[:, 1:3], axis=-1
         )
         self._err_vec_cache = (self.world, err)
         return err
@@ -368,19 +380,18 @@ def structure_from_motion(
     with timers.stage("features"):
         # Ship uint8 to the device and convert there: 4x less H2D traffic
         # (material over a remote-TPU tunnel) and the conversion fuses.
-        gray = device_gray(images)
-        # Pad the image axis: first to the shape bucket, then to a
-        # multiple of the mesh so feature detection ALWAYS shards (47
+        # The image axis pads to the shape bucket INSIDE device_gray
+        # (host-side, so even the conversion program is bucket-keyed), then
+        # to a multiple of the mesh so feature detection ALWAYS shards (47
         # images on 8 devices used to silently fall back to single-device
         # — VERDICT r2 weak #1).  Pad rows are zero images; their outputs
         # are never referenced (ia/ib index only real images, pad pairs
         # are masked).
-        pad_imgs = n_b - n
-        if mesh is not None:
-            pad_imgs += (-n_b) % n_dev
-        if pad_imgs:
-            gray = jnp.pad(gray, ((0, pad_imgs), (0, 0), (0, 0)))
-            metrics.record("features_image_axis_padded", pad_imgs)
+        gray = device_gray(images, pad_to=n_b)
+        if n_b > n:
+            metrics.record("features_image_axis_padded", n_b - n)
+        if mesh is not None and (-n_b) % n_dev:
+            gray = jnp.pad(gray, ((0, (-n_b) % n_dev), (0, 0), (0, 0)))
         use_pallas = config.runtime.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"

@@ -92,8 +92,14 @@ def main():
 
     from sfm_tpu.utils import synth
 
+    # 13 and 12 views land in the same rung of EVERY ladder (images 16,
+    # pairs 15, tracks 1024, observations 1024, seed candidates 2048); a
+    # 14-view A measured one legitimate rung crossing (its ~1.3k
+    # observations bucket to 2048 vs 13/12-view ~0.9k -> 1024), which
+    # recompiles the BA solver — bucketing bounds compiles per RUNG, it
+    # doesn't erase them.
     sets = []
-    for name, n in (("A", 14), ("B", 13)):
+    for name, n in (("A", 13), ("B", 12)):
         d = f"/tmp/temple_bucket_{name}"
         if not os.path.exists(os.path.join(d, "templeSR_par.txt")):
             synth.write_middlebury_dataset(
@@ -104,6 +110,10 @@ def main():
 
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:/root/.axon_site"
+    # Dedicated persistent-cache dir: run A populates it from scratch, so
+    # run B's compile_s ~ 0 is attributable to bucket sharing alone (the
+    # default cache may already hold these shapes from other runs).
+    env["SFM_TPU_COMPILE_CACHE"] = "/tmp/temple_buckets_cache"
     for d in sets:
         print(f"--- fresh-process run on {d} ---", flush=True)
         subprocess.run(
