@@ -88,14 +88,20 @@ def build_problem(
     # Stays on device end-to-end: np.asarray here would pay two blocking
     # device->host fetches (~23 ms fixed each over a remote-TPU link) just
     # to re-upload the result; BAProblem.cams is a device array anyway.
-    rv = rodrigues_vector(jnp.asarray(calib.R))
-    cams = pack_cam(jnp.asarray(calib.K), rv, jnp.asarray(calib.t))
+    # Cameras are padded (host-side, identity rotations) BEFORE the eager
+    # rodrigues/pack ops so those ops run at the bucket shape — at the real
+    # count they compiled a dozen tiny per-dataset programs (~0.4 s each
+    # over the remote compile service; utils/buckets.py).
+    n_views = calib.num_views
+    K_h, R_h, t_h = calib.K, calib.R, calib.t
     if pad_cams_to > 1:
-        c_pad = _pad_len(calib.num_views, pad_cams_to) - calib.num_views
+        c_pad = _pad_len(n_views, pad_cams_to) - n_views
         if c_pad:
-            cams = jnp.concatenate(
-                [cams, jnp.zeros((c_pad, cams.shape[1]), cams.dtype)]
-            )
+            K_h = np.concatenate([K_h, np.tile(np.eye(3), (c_pad, 1, 1))])
+            R_h = np.concatenate([R_h, np.tile(np.eye(3), (c_pad, 1, 1))])
+            t_h = np.concatenate([t_h, np.zeros((c_pad, 3))])
+    rv = rodrigues_vector(jnp.asarray(R_h))
+    cams = pack_cam(jnp.asarray(K_h), rv, jnp.asarray(t_h))
     points = np.asarray(world, np.float64)
     if pad_points_to > 1:
         t_pad = _pad_len(n_tracks, pad_points_to) - n_tracks
