@@ -281,6 +281,32 @@ def main():
             )
         },
     }
+    # Round 5 (VERDICT r4 item 3): the one term this model previously took
+    # on faith — the cost of the partitioning machinery itself — is now
+    # MEASURED on hardware with a 1-device mesh (tools/hw_shard_overhead.py,
+    # SHARD_OVERHEAD_r05.txt): the exact sharded programs (shard_map /
+    # GSPMD, trivial collectives) vs the unsharded ones on the same chip.
+    out["measured_shard_overhead_1dev"] = {
+        "source": "SHARD_OVERHEAD_r05.txt (dino48, real v5e, medians of 3)",
+        "sfm_s": {"unsharded": 0.129, "sharded1": 0.193},
+        "ba_frozen_s": {"unsharded": 0.167, "sharded1": 0.654},
+        "ba_joint_dense_s": {"unsharded": 0.628, "sharded1": 1.533},
+        "ba_joint_pcg_s": {"unsharded": 0.567, "sharded1": 1.247},
+        "mvs_s": {"unsharded": 0.499, "sharded1": 0.463},
+        "interpretation": (
+            "MVS — the dominant stage — partitions for FREE (0.93x: the "
+            "GSPMD round incl. the per-device Pallas slab gather costs "
+            "nothing extra), so the end-to-end multi-chip projection "
+            "stands.  The BA overheads (+0.5-0.9 s at dino shapes) are "
+            "dominated by per-call host-side problem resharding/upload "
+            "over the remote tunnel, not device compute: at 1M "
+            "observations the sharded solve is FASTER than single-device "
+            "even on a CPU mesh (BA_SCALE_r05.txt, 18.1 vs 24.9 s), and "
+            "dino-scale BA is 0.1 s of a 0.65 s pipeline where sharding "
+            "is pointless anyway.  Projection guidance: shard BA only "
+            "when the problem, not the rig, is large."
+        ),
+    }
     if args.measure:
         out["measured_1chip_ba"] = measure_ba_iter()
     print(json.dumps(out, indent=1))
