@@ -107,7 +107,10 @@ def main():
     from sfm_tpu.mvs.photoconsistency import photo_consistency
 
     rng = np.random.default_rng(0)
-    for w in (320, 1000):
+    # 4096-wide exercises the round-5 width-adaptive sample count
+    # (ops/gather._pick_samples shrinks S so the slab scratch fits VMEM —
+    # previously such widths failed Mosaic compilation outright).
+    for w in (320, 1000, 4096):
         h, n_img, m = 240, 6, 512
         gray = (rng.random((n_img, h, w)) * 255).astype(np.float32)
         K = np.tile(
