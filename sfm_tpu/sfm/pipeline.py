@@ -388,10 +388,11 @@ def structure_from_motion(
         # are never referenced (ia/ib index only real images, pad pairs
         # are masked).
         gray = device_gray(images, pad_to=n_b)
-        if n_b > n:
-            metrics.record("features_image_axis_padded", n_b - n)
-        if mesh is not None and (-n_b) % n_dev:
-            gray = jnp.pad(gray, ((0, (-n_b) % n_dev), (0, 0), (0, 0)))
+        mesh_pad = (-n_b) % n_dev if mesh is not None else 0
+        if n_b - n + mesh_pad:
+            metrics.record("features_image_axis_padded", n_b - n + mesh_pad)
+        if mesh_pad:
+            gray = jnp.pad(gray, ((0, mesh_pad), (0, 0), (0, 0)))
         use_pallas = config.runtime.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
