@@ -59,6 +59,37 @@ def run_pipeline(images, calib, config, mvs: bool, scale: float,
     return recon, t_sfm_ba, t_mvs, dense_points
 
 
+_DISPATCH_PROBE = {}
+
+
+def measure_dispatch_latency(n: int = 30) -> float:
+    """Mean seconds per tiny async program dispatch (chained adds, one
+    trailing sync, fetch latency subtracted).
+
+    The tunnel-normalized wall removes the COUNTED fetches; the pipeline
+    also issues ~20 uncounted dispatches whose per-call overhead moves
+    with the same channel weather (BASELINE.md round-5 case study:
+    normalized-wall drift across sessions).  Reporting this per run makes
+    that term visible too.
+    """
+    import jax
+    import jax.numpy as _jnp
+    import numpy as _np
+
+    if "f" not in _DISPATCH_PROBE:
+        _DISPATCH_PROBE["f"] = jax.jit(lambda x: x + 1)
+    f = _DISPATCH_PROBE["f"]
+    x = _jnp.zeros(8)
+    _np.asarray(f(x))  # compile + sync
+    t_f = measure_fetch_latency(3)
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(n):
+        y = f(y)
+    _np.asarray(y)
+    return max((time.perf_counter() - t0 - t_f) / n, 0.0)
+
+
 def measure_fetch_latency(samples: int = 6) -> float:
     """Median seconds of one small fresh-buffer device->host fetch.
 
@@ -182,9 +213,11 @@ def main():
 
     warm_total = []
     fetch_ms = []
+    dispatch_ms = []
     fetch_counts = []
     for _ in range(max(args.warm, 0)):
         fetch_ms.append(measure_fetch_latency() * 1e3)
+        dispatch_ms.append(measure_dispatch_latency() * 1e3)
         n0 = fetch_acct.count()
         t0 = time.perf_counter()
         recon, t_sfm_ba, t_mvs, dense_points = run_pipeline(
@@ -233,6 +266,7 @@ def main():
         # tunnel-normalized wall (wall − fetches × latency) — the number
         # that stays comparable across rounds when the tunnel drifts.
         "fetch_latency_ms_samples": [round(m, 1) for m in fetch_ms],
+        "dispatch_latency_ms_samples": [round(m, 2) for m in dispatch_ms],
         "d2h_fetches_per_run": fetch_counts,
         "wall_norm_samples_s": [round(w, 3) for w in wall_norm],
         "wall_norm_median_s": round(_median(wall_norm), 3)
