@@ -17,7 +17,6 @@ Usage: python bench.py [--frames N] [--skip-mvs] [--warm N]
 import argparse
 import json
 import os
-import sys
 import time
 
 # Reference-CPU baseline, measured on this container (see BASELINE.md):

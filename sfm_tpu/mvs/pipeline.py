@@ -158,8 +158,6 @@ def _mvs_fingerprint(images, config, bound, scale) -> str:
     threshold / input knobs must match or the restored occupancy+frontier
     would be inconsistent with the program.
     """
-    import zlib
-
     from sfm_tpu.config import resolve_photo_views
     from sfm_tpu.io.images import _cache_key
 
