@@ -203,6 +203,32 @@ class MvsConfig:
     shape_buckets: bool = True
 
 
+def mvs_device_knobs(config: "MvsConfig") -> "MvsConfig":
+    """Canonicalize an MvsConfig to the fields the compiled DEVICE programs
+    actually read (thresholds, patch/cell geometry, view gate).
+
+    Host-loop knobs — budgets (max_patches/max_rounds), chunking
+    (rounds_per_call), capacity (passed to the program makers separately),
+    the filter/overlap/bucketing toggles — do not appear in any traced
+    program, so keying the jit caches on them forced a full re-trace and
+    remote recompile of identical MVS programs for e.g. a budget sweep
+    (the same bug class the round-4 pair-program key fix closed for SfM,
+    sfm.pipeline._pair_cache_key)."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        MvsConfig(),
+        cell_size=config.cell_size,
+        patch_wid=config.patch_wid,
+        min_ncc_seed=config.min_ncc_seed,
+        min_ncc_expand=config.min_ncc_expand,
+        visible_lower_bound=config.visible_lower_bound,
+        coplanarity_threshold=config.coplanarity_threshold,
+        neighbor_radius_scaled=config.neighbor_radius_scaled,
+        max_photo_views=config.max_photo_views,
+    )
+
+
 def resolve_photo_views(max_photo_views: int, n_images: int) -> int:
     """Resolve MvsConfig.max_photo_views against the actual rig size.
 

@@ -146,8 +146,11 @@ def expansion_round(
     With rounds_per_call == 1 packed is (C+1, 11); otherwise it is
     (rounds_per_call, C+1, 11), one payload slice per round.
     """
+    from sfm_tpu.config import mvs_device_knobs
+
     run = _make_round_program(
-        config, visible_lower_bound, round_capacity, mesh, rounds_per_call
+        mvs_device_knobs(config), visible_lower_bound, round_capacity,
+        mesh, rounds_per_call,
     )
     return run(
         gray, K, R, t, centers_cam, occupancy,

@@ -133,7 +133,11 @@ def _run_device_filter(
     valid = jnp.asarray(np.arange(dp) < d)
     g_cap = 64
     while True:
-        run = _make_filter_program(config, pv, gw, gh, g_cap)
+        from sfm_tpu.config import mvs_device_knobs
+
+        run = _make_filter_program(
+            mvs_device_knobs(config), pv, gw, gh, g_cap
+        )
         out = _fetch(run(gray, K, R, t, pts, nrm, sco, rf, thr, valid))
         max_group = int(out[dp])
         hits_dropped = int(out[dp + 1])
@@ -306,10 +310,12 @@ def dense_reconstruction(
                     )
                 cand_valid = jnp.asarray(np.arange(c_b) < n_cand)
                 n_tracks = t_b
+            from sfm_tpu.config import mvs_device_knobs
+
             seeds, occupancy, seed_packed = seed_patches(
                 gray, K, R, t, centers_cam,
                 jnp.asarray(track_id), jnp.asarray(ref_obs), jnp.asarray(other_obs),
-                n_tracks, occupancy, config, bound,
+                n_tracks, occupancy, mvs_device_knobs(config), bound,
                 cand_valid=cand_valid,
             )
             # The seed payload (ONE device->host fetch for the whole stage)

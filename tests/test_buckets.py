@@ -119,6 +119,57 @@ class TestBucketedEquality:
         np.testing.assert_array_equal(db.refs, dp.refs)
 
 
+def test_mvs_device_knobs_ignore_host_loop_fields():
+    """Budget/chunking/filter/bucketing knobs are host-side only: changing
+    them must not evict the compiled MVS device programs (the same bug
+    class as the round-4 SfM pair-key fix)."""
+    import dataclasses
+
+    from sfm_tpu.config import mvs_device_knobs
+
+    base = mvs_device_knobs(MvsConfig())
+    for kw in (
+        {"max_patches": 5},
+        {"max_rounds": 1},
+        {"rounds_per_call": 4},
+        {"round_capacity": 128},
+        {"enable_outlier_filter": True},
+        {"overlap_seed_fetch": False},
+        {"shape_buckets": False},
+    ):
+        assert mvs_device_knobs(MvsConfig(**kw)) == base, kw
+    # Device-read fields DO change the key.
+    assert mvs_device_knobs(MvsConfig(min_ncc_expand=0.5)) != base
+    assert mvs_device_knobs(MvsConfig(patch_wid=4)) != base
+
+
+def test_mvs_budget_change_reuses_round_program(dino_calib):
+    import dataclasses
+
+    from sfm_tpu.io import load_images
+    from sfm_tpu.mvs import dense_reconstruction
+    from sfm_tpu.mvs.expand import _make_round_program
+    from sfm_tpu.sfm import structure_from_motion
+
+    imgs, _ = load_images("/root/reference/dinoRing", "png", max_images=6)
+    cal = dino_calib.subset(range(6))
+    cfg = PipelineConfig(
+        features=FeatureConfig(max_corners=512, max_matches=256))
+    recon = structure_from_motion(imgs, cal, cfg)
+    m1 = MvsConfig(round_capacity=1024, max_rounds=2, max_patches=2000)
+    d1 = dense_reconstruction(imgs, cal, recon, m1, scale=10.0)
+    info1 = _make_round_program.cache_info()
+    # Budget-only change: same compiled program, no new lru entry.
+    d2 = dense_reconstruction(
+        imgs, cal, recon,
+        dataclasses.replace(m1, max_patches=1000, max_rounds=1),
+        scale=10.0,
+    )
+    info2 = _make_round_program.cache_info()
+    assert info2.currsize == info1.currsize
+    assert d1.num_points >= d2.num_points > 0
+
+
 def test_joint_ba_with_padded_cameras(dino_calib):
     """ba.problem now pads cameras to a multiple of 8: the joint solvers
     (dense Schur + PCG) must converge with observation-free pad cameras in
