@@ -167,8 +167,11 @@ def _mvs_fingerprint(images, config, bound, scale) -> str:
 
     n, h, w = images.shape[:3]
     img_crc = _cache_key(images)[1:]  # shape, dtype, ptr(ignored), crc
+    # v2 (round 5): the accumulator state carries acc_ref instead of the
+    # filter-era acc_vis/acc_proj — old states must fail the fingerprint
+    # check (clear error) rather than KeyError mid-resume.
     return (
-        f"v1|{n}x{h}x{w}|crc{img_crc[-1]}|cell{config.cell_size}"
+        f"v2|{n}x{h}x{w}|crc{img_crc[-1]}|cell{config.cell_size}"
         f"|wid{config.patch_wid}|ncc{config.min_ncc_seed}/{config.min_ncc_expand}"
         f"|bound{bound}|cap{config.round_capacity}"
         f"|views{resolve_photo_views(config.max_photo_views, n)}"
